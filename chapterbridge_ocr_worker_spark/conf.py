@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-aware defaults.
+
+The knobs mirror what the reference tunes by hand (reference:
+workers/ocr/ocr_engine.py:44-50 rec_batch_num/det_limit_side_len;
+DEPLOY_RUNPOD.md:195-209 batch-size-vs-VRAM): here they become Arrow batch
+sizing and shuffle-partition counts so each executor's Python worker gets
+full batches without blowing memory on image bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry raw media bytes into the OCR UDF. A webtoon page can be
+# multi-MB, so cap records/batch low (the analogue of the reference's
+# tile-height memory bound, ocr_engine.py:72-106) — 64 rows × ~2 MB ≈ 128 MB
+# per batch worst-case, safe for a 4-8 GB executor.
+DEFAULT_ARROW_BATCH = 64
+
+
+def get_spark(
+    app_name: str = "chapterbridge-ocr-worker-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this pipeline.
+
+    On a real cluster the same confs apply; only ``master`` changes
+    (spark-submit supplies it). AQE is on so post-shuffle partitions
+    coalesce and skewed joins split at runtime.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_ARROW_BATCH),
+        )
+        # Python workers are reused so the OCR engine singleton amortizes
+        # across batches (reference warms the model once at daemon start,
+        # workers/ocr/main.py:227-230).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

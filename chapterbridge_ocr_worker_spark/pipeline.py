@@ -1,0 +1,130 @@
+"""The flagship batch job: interleaved documents -> OCR'd documents.
+
+One declarative DataFrame job replacing the reference's poll/claim/process
+daemon (workers/ocr/main.py:220-255). Stages (SURVEY.md §3.1):
+
+    documents ──anti-join lineage──> pending
+    pending ──posexplode spans──> span rows
+        ├─ kind='text'  ──────────────────────────┐
+        └─ kind='media' ─join media blobs─ repartition(xxhash64(doc_id,offset))
+                          ─mapInPandas OCR─ split ok/failures
+                                              │            └─> failures table
+    text ∪ ok ──groupBy doc_id, array_sort(collect_list)──> output docs
+    output ──> output table, lineage table, checkpoint metrics
+
+Plan properties to preserve at 100 TB (verify with .explain("formatted")):
+- the media-blob join is a plain shuffled hash join on media_ref (both sides
+  big); if the media table is bucketed by media_ref the shuffle disappears;
+- filters on span.kind reach the scan via generator pushdown after explode;
+- only ONE wide shuffle carries image bytes (the explicit repartition before
+  the UDF); the reassembly groupBy shuffles text-only rows;
+- AQE handles post-UDF partition coalescing and skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.metrics import checkpoint_rows
+from .operators.ocr_udf import ocr_media_spans
+from .operators.reassemble import explode_spans, reassemble, split_media_text
+from .operators.resume import build_lineage, pending_documents, split_failures
+from .operators.skew import repartition_spans
+from .sources import tables
+
+
+@dataclass
+class PipelineResult:
+    output: DataFrame
+    failures: DataFrame
+    lineage: DataFrame
+    ocr_all: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    lineage: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> PipelineResult:
+    """Build (lazily) the full extraction DAG. Caller materializes via
+    write_run / collect. ``lineage`` (previous runs' done docs) enables
+    resume."""
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    pending = pending_documents(documents, lineage)
+
+    spans = explode_spans(pending)
+    media_spans, text_spans = split_media_text(spans)
+
+    # join span -> blob bytes on media_ref. Media side carries the bytes, so
+    # it is the big side; span side is narrow. Equi-join; at scale bucket
+    # both by media_ref to make it shuffle-free (sources/tables.py note).
+    with_bytes = media_spans.select("doc_id", "offset", "media_ref").join(
+        media.select("media_ref", "content"), "media_ref", "left"
+    )
+
+    distributed = repartition_spans(with_bytes, n)
+    ocr_results = ocr_media_spans(distributed)
+    _, failures = split_failures(ocr_results)
+
+    # ALL media spans (failed ones keep text=null) re-enter the document so
+    # the span sequence stays complete; failures additionally dead-letter.
+    assembled = reassemble(
+        text_spans, ocr_results.select("doc_id", "offset", "media_ref", "text")
+    )
+    lineage_out = build_lineage(assembled)
+    return PipelineResult(
+        output=assembled,
+        failures=failures,
+        lineage=lineage_out,
+        ocr_all=ocr_results,
+    )
+
+
+def write_run(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    warehouse: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """Materialize one (resumable) run into the warehouse directory.
+
+    Reads existing lineage for the anti-join; appends output/lineage/
+    failures as immutable snapshots; writes per-partition checkpoint rows.
+    Returns run stats.
+    """
+    prior = tables.read_table(spark, warehouse, "lineage")
+    res = run_extraction(
+        spark, documents, media, lineage=prior, num_partitions=num_partitions
+    )
+
+    # Cache the OCR stage (the expensive part) so reassembly, metrics and
+    # the failure split all reuse it instead of re-running the UDF.
+    t0 = time.time()
+    ocr_cached = res.ocr_all.persist()
+    ocr_cached.count()  # materialize the OCR work under the timer
+    wall = time.time() - t0
+
+    ok, failures = split_failures(ocr_cached)
+    assembled = reassemble(
+        explode_spans(pending_documents(documents, prior)).filter(
+            F.col("kind") == "text"
+        ),
+        ocr_cached.select("doc_id", "offset", "media_ref", "text"),
+    ).persist()
+    n_docs = assembled.count()
+
+    tables.append_snapshot(assembled, warehouse, "ocr_output")
+    tables.append_snapshot(build_lineage(assembled), warehouse, "lineage")
+    tables.append_snapshot(failures, warehouse, "failures")
+    tables.append_snapshot(checkpoint_rows(ok, wall), warehouse, "checkpoint")
+    assembled.unpersist()
+    ocr_cached.unpersist()
+    return {"docs": n_docs, "wall_seconds": wall}

@@ -1,0 +1,56 @@
+"""Table IO layer — parquet-backed here, Iceberg in production.
+
+Production target is an Iceberg catalog (`df.writeTo(...).append()`,
+`MERGE INTO` for the segment-link upsert, snapshot isolation for resume —
+SURVEY.md §1.1). The Iceberg runtime jar isn't in this container, so the
+same interface is backed by parquet directories; every call site goes
+through this module, making the swap a one-file change.
+
+Scale notes baked in:
+- documents/media/output are written partitioned or bucketed by hash of the
+  key they're joined/grouped on, so re-reads co-locate;
+- appends use unique subdirectories per job run (Iceberg snapshot analogue)
+  so a killed job never corrupts previous commits — resume reads the union.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def table_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> str:
+    path = table_path(root, name)
+    df.write.mode(mode).parquet(path)
+    return path
+
+
+def append_snapshot(df: DataFrame, root: str, name: str) -> str:
+    """Append as a new immutable snapshot directory (atomic-commit stand-in
+    for Iceberg's append). Readers union all snapshots via read_table."""
+    snap = os.path.join(root, name, f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(snap)
+    return snap
+
+
+def read_table(
+    spark: SparkSession, root: str, name: str, schema: T.StructType | None = None
+) -> DataFrame | None:
+    """Read a table (all snapshots). Returns None if it doesn't exist yet."""
+    path = table_path(root, name)
+    if not os.path.isdir(path):
+        return None
+    sub = [os.path.join(path, d) for d in sorted(os.listdir(path))]
+    parquet_dirs = [p for p in sub if os.path.isdir(p)] or [path]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*parquet_dirs)
