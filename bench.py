@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Queries cover the flagship extraction pipeline (interleave-ify -> explode ->
+vectorized OCR -> reassemble) plus the heaviest relational / training-data
+operators. Times are wall seconds per query (action = count/collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chapterbridge_ocr_worker_spark.conf import get_spark
+from chapterbridge_ocr_worker_spark.queries import QUERIES
+
+BENCH_QUERIES = [
+    "extract_e2e",
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_region_revenue",
+    "q18_big_orders",
+    "w3_keep_oldest",
+    "w5_sessionize",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "text_quality",
+    "text_lang_id",
+    "stream_hourly_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = QUERIES[name]
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "extract_e2e":
+            extra["extract_docs"] = n
+            extra["extract_docs_per_sec"] = round(n / dt, 2) if dt > 0 else 0.0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs at different scales:
+
+- brute-force cosine top-k: exact; one broadcast of the (small) query set
+  against the full corpus — linear scan, no shuffle of the corpus at all.
+  All math is built-in higher-order functions (zip_with/aggregate), double
+  precision, JVM-side.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic,
+  hash-derived planes so every engine agrees), candidates = bucket
+  co-membership, exact re-rank inside the bucket. The scale path: the
+  corpus shuffles once on the signature, each query touches ~1/2^bits of
+  the data.
+
+Embedding near-dup (cosine > threshold pairs) reuses the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ANN_BITS = 12  # hyperplane count for the LSH path (4096 buckets)
+_PLANE_SEED = 0x5EED
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self excluded), deterministic
+    tiebreak on neighbor id. Result: (query_id, neighbor_id, cos_r, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_r"),
+            "rank",
+        )
+    )
+
+
+def _plane_weight(bit: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1): derived
+    from xxhash64(bit, dim) so driver, executors and reruns all agree
+    without shipping a plane matrix."""
+    h = F.xxhash64(F.lit(_PLANE_SEED), F.lit(bit), dim_idx)
+    return (F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)) - F.lit(1.0)
+
+
+def lsh_signature(vec: Column, bits: int = ANN_BITS) -> Column:
+    """Random-hyperplane signature: bit b = sign(<vec, plane_b>).
+
+    NB: pyspark infers HOF arity from the lambda's parameter count, so bind
+    the loop var through a closure factory, never a default arg.
+    """
+
+    def projection(b: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, i: v.cast("double") * _plane_weight(b, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(projection(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within the query's LSH bucket.
+
+    Recall is bucket-limited (single probe); production would multi-probe
+    neighboring buckets. The join key is the bucket id — the corpus-side
+    signature computation is one linear scan, and the join shuffles only
+    (id, bucket, vec) pairs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(qs), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH blocking + exact cosine."""
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path. Each has an exact DuckDB SQL twin registered in queries.py so
+the driver's oracle can hash-verify it.
+
+Operators: token counting, quality scoring (stopword/punct/length ratios),
+n-gram-heuristic language ID, document fingerprinting, distinct-shingle
+counts (the substrate for n-gram Jaccard dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny fixed stopword lists — deterministic, mirrored in the SQL oracles
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+STOPWORDS_ES = ("el", "la", "de", "que", "y", "en", "un", "es")
+STOPWORDS_FR = ("le", "la", "de", "et", "un", "est", "que", "en")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array.
+
+    split('', pattern) yields [''] in both Spark and DuckDB, so the
+    empty-string guard keeps the two engines (and common sense) aligned.
+    """
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def normalized(text: Column) -> Column:
+    """lowercase + whitespace-collapsed — the canonical form for
+    fingerprinting and shingling."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def distinct_char_ngrams(text: Column, n: int = 5) -> Column:
+    """Count of distinct character n-grams of the normalized text —
+    the shingle-cardinality primitive for near-dup scoring."""
+    norm = normalized(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    return F.size(F.array_distinct(grams))
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, F.lower(t))))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: token count, avg token length, stopword
+    ratio (EN list), punctuation ratio, alpha ratio."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    total_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_tokens": n_tok,
+        "avg_token_len": F.round(total_tok_len / safe_tok.cast("double"), 4),
+        "stopword_ratio": F.round(
+            _hits(toks, STOPWORDS_EN) / safe_tok.cast("double"), 4
+        ),
+        "punct_ratio": F.round(n_punct / safe_chars.cast("double"), 4),
+        "alpha_ratio": F.round(n_alpha / safe_chars.cast("double"), 4),
+    }
+
+
+def lang_votes(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {
+        "en": _hits(toks, STOPWORDS_EN),
+        "de": _hits(toks, STOPWORDS_DE),
+        "es": _hits(toks, STOPWORDS_ES),
+        "fr": _hits(toks, STOPWORDS_FR),
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """Stopword-vote language ID with CJK-character shortcut; ties break by
+    fixed priority en > de > es > fr > unknown (deterministic, mirrored in
+    SQL)."""
+    v = lang_votes(text)
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    best = F.greatest(v["en"], v["de"], v["es"], v["fr"])
+    return (
+        F.when(cjk * 5 > F.length(F.trim(text)), F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(v["en"] == best, F.lit("en"))
+        .when(v["de"] == best, F.lit("de"))
+        .when(v["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    cols = quality_columns(F.col(text_col))
+    return df.select(
+        id_col, *[c.alias(name) for name, c in cols.items()]
+    )

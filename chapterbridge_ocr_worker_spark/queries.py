@@ -1,0 +1,978 @@
+"""Operator-coverage query registry over the driver's testdata tables.
+
+One named query per operator family from SURVEY.md §2 (the reference's
+relational surface, reimplemented Spark-native) plus the training-data
+pipeline operators (dedup, similarity search, text analysis, multimodal
+plumbing). Each entry pairs a DataFrame builder with a DuckDB oracle SQL
+twin (None → genuinely non-SQL-expressible; driver does a rows-only check).
+
+Design rules:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- float outputs are rounded (money 2dp, ratios/sims 4dp) so value-hashes
+  are stable across engines;
+- timestamps are exported as epoch seconds (bigint) to dodge tz/naivety
+  mismatches between Spark and DuckDB;
+- limits/top-k always carry a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def reg(fn):
+        QUERIES[name] = Query(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Scans / claims / point lookups (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "s1_oldest_queued_top1",
+    """
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events WHERE event_type = 'click'
+    ORDER BY ts, event_id LIMIT 1
+    """,
+    "S1/W1: the queue-claim scan — oldest matching row (supabase_client.py:46-54)",
+)
+def s1_oldest(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .orderBy("ts", "event_id")
+        .limit(1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+
+
+@q(
+    "s2_point_lookup",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2) AS price_r "
+    "FROM orders WHERE o_orderkey = 42",
+    "S2: primary-key fetch (supabase_client.py:75-81)",
+)
+def s2_point(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price_r"),
+        )
+    )
+
+
+@q(
+    "s3_scan_like",
+    "SELECT p_partkey, p_name, p_brand FROM part "
+    "WHERE p_name LIKE '%widget%' AND p_type = 'ECONOMY'",
+    "S3/S4/P4: pattern scan with projection (supabase_client.py:215-268)",
+)
+def s3_like(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+@q(
+    "s5_distinct_keys",
+    "SELECT DISTINCT source FROM documents",
+    "S5: existing-output key set, as a DataFrame not a driver set "
+    "(supabase_client.py:277-302)",
+)
+def s5_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select("source").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p2_eq_conjunction",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'",
+    "P2: conjunctive equality predicates (supabase_client.py:46-54)",
+)
+def p2_eq(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "p3_json_path_filter",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+    "P3: JSON-path predicate input->>task (supabase_client.py:50-53)",
+)
+def p3_json(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").cast("int") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "p5_in_membership",
+    "SELECT c_nationkey, COUNT(*) AS n FROM customer "
+    "WHERE c_nationkey IN (1, 3, 5, 7) GROUP BY c_nationkey",
+    "P5: IN-batch membership (supabase_client.py:143-145)",
+)
+def p5_in(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "p6_validation_split",
+    """
+    SELECT event_type,
+           SUM(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS n_valid,
+           SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_invalid
+    FROM events GROUP BY event_type
+    """,
+    "P6: validate-or-dead-letter routing as a when() split (main.py:65-74)",
+)
+def p6_validate(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") >= 1.0, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("n_invalid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar derivations (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "f1_key_parse_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           p_brand SIMILAR TO 'Brand#\\d+' AS is_valid
+    FROM part WHERE p_partkey < 100
+    """,
+    "F1: regex key parse + validity (key_parser.py:14-43)",
+)
+def f1_regex(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+            F.col("p_brand").rlike(r"^Brand#\d+$").alias("is_valid"),
+        )
+    )
+
+
+@q(
+    "f2_output_key_format",
+    """
+    SELECT doc_id, concat('derived/', source, '/', lang, '/', doc_id, '.json') AS out_key
+    FROM documents WHERE doc_id < 50
+    """,
+    "F2: derived output-key construction (key_parser.py:45-60)",
+)
+def f2_outkey(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("derived/"),
+                "source",
+                F.lit("/"),
+                "lang",
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".json"),
+            ).alias("out_key"),
+        )
+    )
+
+
+@q(
+    "f3_number_extract",
+    """
+    SELECT c_custkey,
+           CAST(nullif(regexp_extract(c_name, 'Customer#(\\d+)', 1), '') AS BIGINT)
+             AS name_num
+    FROM customer WHERE c_custkey < 200
+    """,
+    "F3: chapter/page int extraction with null on no-match (key_parser.py:62-74)",
+)
+def f3_extract(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.nullif(F.regexp_extract("c_name", r"Customer#(\d+)", 1), F.lit(""))
+            .cast("bigint")
+            .alias("name_num"),
+        )
+    )
+
+
+@q(
+    "f4_sha256",
+    "SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 100",
+    "F4: content hashing for lineage (utils.py:25-27)",
+)
+def f4_sha(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+    )
+
+
+@q(
+    "f6_elapsed_span",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_s,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id HAVING COUNT(*) > 3
+    """,
+    "F6/A4: elapsed-time metrics (utils.py:33-35; main.py:218)",
+)
+def f6_elapsed(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("span_s"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_broadcast_lookup",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS bal_r
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "J1/J2: dimension lookup as broadcast hash join (supabase_client.py:120-151)",
+)
+def j1_lookup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_r"),
+        )
+    )
+
+
+@q(
+    "j3_dim_chain",
+    """
+    SELECT r.r_name, COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "J3: segment->edition->work chained dim hops (supabase_client.py:153-178)",
+)
+def j3_chain(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@q(
+    "j4_anti_resume",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "J4/J5/D4: idempotency anti-join — the resume primitive (enqueue.py:73-87; "
+    "main.py:107-120)",
+)
+def j4_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey")
+
+
+@q(
+    "j5_semi_done",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE p_size > 40
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    "J5: existence semi-join (the 'already has output -> link it' branch, "
+    "main.py:107-120)",
+)
+def j5_semi(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        p.filter(F.col("p_size") > 40)
+        .join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi")
+        .select("p_partkey", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / dedup / upsert (SURVEY §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "w3_keep_oldest",
+    """
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "W3/A3: keep-oldest-per-key window dedup (cleanup_duplicate_jobs.py:58-75)",
+)
+def w3_oldest(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
+@q(
+    "j6_upsert_latest",
+    """
+    SELECT user_id, event_type, ROUND(value, 4) AS value_r FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ) WHERE rn = 1
+    """,
+    "J6: MERGE-style upsert emulated via latest-wins window (supabase_client.py:205-213)",
+)
+def j6_upsert(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.round("value", 4).alias("value_r"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a1_group_stats",
+    """
+    SELECT event_type, COUNT(*) AS line_count, ROUND(AVG(value), 4) AS avg_conf
+    FROM events GROUP BY event_type
+    """,
+    "A1/A2: per-tile stats lifted to a groupBy (ocr_engine.py:582-593)",
+)
+def a1_stats(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.round(F.avg("value"), 4).alias("avg_conf"),
+        )
+    )
+
+
+@q(
+    "a4_histogram",
+    """
+    SELECT LEAST(CAST(FLOOR(value / 50) AS INTEGER), 9) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "A4: confidence-histogram metric (north-star; conf_hist in FIXTURES.md §5)",
+)
+def a4_hist(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: the canonical wide agg (SURVEY §2.5 has no native analogue; "
+    "included as the flagship relational agg)",
+)
+def q1_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "q3_topk_revenue",
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: join + agg + deterministic top-k",
+)
+def q3_topk(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: the multi-join local-supplier query",
+)
+def q5_region(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q18_big_orders",
+    """
+    SELECT o.o_orderkey, ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey HAVING SUM(l.l_quantity) > 150
+    """,
+    "TPC-H Q18 shape: group-having over the fact table",
+)
+def q18_big(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+        .select("o_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+    )
+
+
+@q(
+    "w5_sessionize",
+    """
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+    "W5-analogue: sessionization via lag + running sum (gap > 30 min)",
+)
+def w5_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+_NTOK_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    f"ELSE len({_TOKENS_SQL}) END"
+)
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "text_token_count",
+    f"SELECT doc_id, {_NTOK_SQL} AS n_tokens, n_chars FROM documents",
+    "token counting (whitespace tokenizer) over the documents table",
+)
+def text_tokens(spark, sf_dir):
+    from .operators.textstats import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"), "n_chars")
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN len(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           ROUND(COALESCE(list_sum(list_transform(tk, s -> len(s))), 0)
+                 / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS avg_token_len,
+           ROUND(len(list_filter(tk, s -> list_contains(
+                     ['the','a','of','to','and','in','is','it'], lower(s))))
+                 / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND((len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                 / CAST(greatest(len(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / CAST(greatest(len(text), 1) AS DOUBLE), 4) AS alpha_ratio
+    FROM toks
+    """,
+    "quality scoring: length/stopword/punctuation ratios (training-data gate)",
+)
+def text_quality(spark, sf_dir):
+    from .operators.textstats import text_stats
+
+    return text_stats(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_lang_id",
+    """
+    WITH v AS (
+      SELECT doc_id, text,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, text,
+        len(list_filter(tk, s -> list_contains(['the','a','of','to','and','in','is','it'], lower(s)))) AS en,
+        len(list_filter(tk, s -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(s)))) AS de,
+        len(list_filter(tk, s -> list_contains(['el','la','de','que','y','en','un','es'], lower(s)))) AS es,
+        len(list_filter(tk, s -> list_contains(['le','la','de','et','un','est','que','en'], lower(s)))) AS fr
+      FROM v
+    )
+    SELECT doc_id,
+           CASE
+             WHEN len(regexp_replace(text, '[^一-鿿]', '', 'g')) * 5 > len(trim(text)) THEN 'zh'
+             WHEN greatest(en, de, es, fr) = 0 THEN 'unknown'
+             WHEN en = greatest(en, de, es, fr) THEN 'en'
+             WHEN de = greatest(en, de, es, fr) THEN 'de'
+             WHEN es = greatest(en, de, es, fr) THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM votes
+    """,
+    "n-gram/stopword-heuristic language ID (training-data gate)",
+)
+def text_langid(spark, sf_dir):
+    from .operators.textstats import predicted_lang
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+@q(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    "normalized-content fingerprinting (training-data gate)",
+)
+def text_fp(spark, sf_dir):
+    from .operators.textstats import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "text_ngram5_distinct",
+    f"""
+    SELECT doc_id,
+           len(list_distinct(list_transform(
+             generate_series(1, greatest(len({_NORM_SQL}) - 4, 0)),
+             i -> substr({_NORM_SQL}, CAST(i AS INT), 5)))) AS n_grams
+    FROM documents
+    """,
+    "distinct character-5-gram shingle cardinality (near-dup substrate)",
+)
+def text_ngram5(spark, sf_dir):
+    from .operators.textstats import distinct_char_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", distinct_char_ngrams(F.col("text"), 5).alias("n_grams"))
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: hash-groupBy keep-min-id (training-data gate)",
+)
+def dedup_exact_q(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_jaccard_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.tk, b.tk)) /
+                 CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))
+                      AS DOUBLE), 4) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) > 0
+      AND ROUND(len(list_intersect(a.tk, b.tk)) /
+                CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))
+                     AS DOUBLE), 4) >= 0.6
+    """,
+    "n-gram/token-set Jaccard near-dup pairs with blocking (training-data gate)",
+)
+def dedup_jaccard_q(spark, sf_dir):
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"), block_col="source", threshold=0.6
+    )
+
+
+@q(
+    "dedup_minhash_candidates",
+    None,  # xxhash64-based; not reproducible in DuckDB -> rows-only check
+    "MinHash+LSH banded candidate pairs (shingle->minhash->band->bucket-join)",
+)
+def dedup_minhash_q(spark, sf_dir):
+    from .operators.dedup import minhash_candidates
+
+    return minhash_candidates(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_simhash",
+    None,  # xxhash64-based -> rows-only check
+    "64-bit SimHash signatures over token bags",
+)
+def dedup_simhash_q(spark, sf_dir):
+    from .operators.dedup import simhash64
+
+    return simhash64(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "emb_cosine_topk",
+    """
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qvec, cvec)
+               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+      FROM c CROSS JOIN qs WHERE neighbor_id <> query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_r, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    "brute-force cosine top-k similarity search over array<float> embeddings",
+)
+def emb_topk_q(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10)
+
+
+@q(
+    "emb_ann_lsh",
+    None,  # hyperplanes derive from xxhash64 -> rows-only check
+    "LSH-bucketed approximate nearest neighbors (scale path for similarity)",
+)
+def emb_ann_q(spark, sf_dir):
+    from .operators.similarity import ann_topk_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# Streaming + multimodal + flagship extraction
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "stream_hourly_agg",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v_r
+    FROM events GROUP BY 1, 2
+    """,
+    "Structured Streaming (availableNow) hourly windowed aggregation over the "
+    "events stream — §2.9's fidelity mode, checked against a batch oracle",
+)
+def stream_hourly(spark, sf_dir):
+    import os
+
+    ev_schema = t(spark, sf_dir, "events").schema
+    # the streaming file source wants a DIRECTORY; expose the single parquet
+    # file through a symlinked dir (read-only testdata can't be moved)
+    safe = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/stream_src_{safe}_events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(stream_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v_r"))
+    )
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_hourly_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(
+        "SELECT CAST(unix_timestamp(window.start) AS BIGINT) AS ws, "
+        "event_type, n, sum_v_r FROM stream_hourly_out"
+    )
+
+
+@q(
+    "multimodal_metadata",
+    None,  # mapInPandas decode kernel -> rows-only check
+    "multimodal plumbing: binary media column -> typed metadata via Arrow UDF",
+)
+def multimodal_meta_q(spark, sf_dir):
+    from .operators.multimodal import extract_media_metadata
+    from .sources.interleave import interleaveify
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    _, media = interleaveify(flat)
+    return extract_media_metadata(media).select(
+        "media_ref", "byte_size", "format", "width", "height", "n_regions"
+    )
+
+
+@q(
+    "extract_e2e",
+    None,  # full OCR pipeline -> rows-only check (golden equality lives in pytest)
+    "flagship: interleaved docs -> explode -> vectorized OCR -> ordered "
+    "reassembly, over an interleave-ified slice of the documents table",
+)
+def extract_e2e_q(spark, sf_dir):
+    from .pipeline import run_extraction
+    from .sources.interleave import interleaveify
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs, media = interleaveify(flat)
+    res = run_extraction(spark, docs, media)
+    return res.output.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
+            "n_media"
+        ),
+        F.length(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("media")),
+                    lambda s: F.coalesce(s["text"], F.lit("")),
+                ),
+            )
+        ).alias("ocr_chars"),
+    )

@@ -1,0 +1,123 @@
+"""Interleave-ify: derive an interleaved text+media corpus from a flat text
+table, deterministically and distributed.
+
+The driver's testdata `documents` table is flat (doc_id, text, ...). The
+extraction pipeline's authoritative input is the interleaved-span shape.
+This source splits each text into sentence-ish chunks, turns every third
+chunk into a media span whose bytes are a FAKEIMG rendering of that chunk
+(built inside an Arrow-batched UDF — no driver-side loop), and emits both
+the documents table and the media side-table. Determinism: everything is a
+pure function of (doc_id, text)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..engine.fakeimg import FakeLine, encode
+
+_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _chunks(text: str, size: int = 80) -> list[str]:
+    words = text.split()
+    out, cur, n = [], [], 0
+    for w in words:
+        cur.append(w)
+        n += len(w) + 1
+        if n >= size:
+            out.append(" ".join(cur))
+            cur, n = [], 0
+    if cur:
+        out.append(" ".join(cur))
+    return out or [text]
+
+
+def _render(doc_id: str, chunk: str, idx: int) -> bytes:
+    """Deterministic fake page: one line per ~6 words, height from content."""
+    words = chunk.split()
+    lines, y = [], 40
+    for i in range(0, len(words), 6):
+        seg = " ".join(words[i : i + 6])
+        contrast = 120 + (int(hashlib.md5(seg.encode()).hexdigest()[:2], 16) % 120)
+        lines.append(FakeLine(10, y, 40 + 8 * len(seg), 30, contrast, seg))
+        y += 90
+    height = max(y + 40, 400)
+    # every 7th media span is tall enough to tile (exercises TILE_MED)
+    if idx % 7 == 3:
+        height = 4200
+    return encode(800, height, lines)
+
+
+def _interleave_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {f.name: [] for f in _OUT.fields}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            did = str(doc_id)
+            for off, chunk in enumerate(_chunks(text or "")):
+                is_media = off % 3 == 2
+                rows["doc_id"].append(did)
+                rows["offset"].append(off)
+                if is_media:
+                    ref = f"raw/manhwa/w{did}/e0/chapter-0001/page-{off:03d}.jpg"
+                    rows["kind"].append("media")
+                    rows["text"].append(None)
+                    rows["media_ref"].append(ref)
+                    rows["content"].append(_render(did, chunk, off))
+                else:
+                    rows["kind"].append("text")
+                    rows["text"].append(chunk)
+                    rows["media_ref"].append(None)
+                    rows["content"].append(None)
+        yield pd.DataFrame(rows)
+
+
+def interleaveify(flat_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """flat (doc_id, text) -> (documents interleaved, media side-table)."""
+    spans = flat_docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(_interleave_batches, schema=_OUT)
+    docs = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "ordered",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    media = (
+        spans.filter(F.col("kind") == "media")
+        .select(
+            "media_ref",
+            "content",
+            F.length("content").cast("long").alias("byte_size"),
+            F.sha2("content", 256).alias("sha256"),
+        )
+    )
+    return docs, media

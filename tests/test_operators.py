@@ -1,0 +1,154 @@
+"""Unit tests for training-data operators and key functions."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from chapterbridge_ocr_worker_spark.functions.keys import (
+    chapter_number,
+    output_key,
+    page_number,
+    parse_key,
+)
+from chapterbridge_ocr_worker_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash64,
+)
+from chapterbridge_ocr_worker_spark.operators.multimodal import extract_media_metadata
+from chapterbridge_ocr_worker_spark.operators.similarity import cosine_topk
+from chapterbridge_ocr_worker_spark.operators.textstats import (
+    predicted_lang,
+    text_stats,
+    token_count,
+)
+
+
+def test_key_parse_valid_and_invalid(spark):
+    df = spark.createDataFrame(
+        [
+            ("raw/manhwa/w1/e2/chapter-0042/page-007.jpg",),
+            ("blob/opaque/x.bin",),
+        ],
+        ["ref"],
+    )
+    rows = df.select(
+        parse_key(F.col("ref")).alias("p"),
+        chapter_number(F.col("ref")).alias("ch"),
+        page_number(F.col("ref")).alias("pg"),
+        output_key(F.col("ref"), F.lit("FALLBACK")).alias("out"),
+    ).collect()
+    valid, invalid = rows
+    assert valid["p"]["work_id"] == "w1"
+    assert valid["p"]["is_valid"] is True
+    assert (valid["ch"], valid["pg"]) == (42, 7)
+    assert valid["out"] == "derived/manhwa/w1/e2/chapter-0042/ocr/007.json"
+    assert invalid["p"]["is_valid"] is False
+    assert invalid["ch"] is None and invalid["pg"] is None
+    assert invalid["out"] == "derived/manhwa/unknown/unknown/ocr/FALLBACK.json"
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], ["text"]
+    )
+    out = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    rows = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+    # normalization folds case+whitespace -> docs 1,2 are exact dups
+    assert rows == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "b", "alpha beta gamma"),
+            (2, "b", "alpha beta gamma"),
+            (3, "b", "zeta eta theta"),
+            (4, "other", "alpha beta gamma"),  # different block: no pair
+        ],
+        ["doc_id", "blk", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df, "blk").collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_candidates_find_near_dups(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = text_a + " extra"
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, "completely different words everywhere")],
+        ["doc_id", "text"],
+    )
+    cands = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_candidates(df).collect()}
+    assert (1, 2) in cands
+    assert cands[(1, 2)] > 0.5
+    assert (1, 3) not in cands
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.01]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)]
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm"), (2, "der hund ist nicht zu alt und die katze"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", predicted_lang(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_text_stats_shapes(spark):
+    df = spark.createDataFrame([(1, "The quick brown fox.")], ["doc_id", "text"])
+    r = text_stats(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert 0.0 <= r["stopword_ratio"] <= 1.0
+    assert r["punct_ratio"] > 0
+
+
+def test_multimodal_metadata_and_error_routing(spark):
+    from chapterbridge_ocr_worker_spark.engine.fakeimg import FakeLine, encode
+
+    good = encode(640, 900, [FakeLine(5, 10, 100, 30, 200, "hi")])
+    media = spark.createDataFrame(
+        [("ref/good", bytearray(good)), ("ref/bad", bytearray(b"\xff\xd8\xffJPEGISH"))],
+        ["media_ref", "content"],
+    )
+    rows = {r["media_ref"]: r for r in extract_media_metadata(media).collect()}
+    g = rows["ref/good"]
+    assert (g["format"], g["width"], g["height"], g["n_regions"]) == ("fakeimg", 640, 900, 1)
+    assert g["error"] is None
+    b = rows["ref/bad"]
+    assert b["format"] == "jpeg"
+    assert b["error"] is not None  # real decode stubbed -> NotImplementedError routed

@@ -1,0 +1,76 @@
+"""Property-based spot checks (SURVEY.md §5 item 4) — pure-Python level so
+hypothesis can iterate fast (the Spark plumbing is covered by e2e tests)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chapterbridge_ocr_worker_spark.engine.inner import (
+    bbox_bounds,
+    bbox_iou,
+    deduplicate_lines,
+    tile_spans,
+)
+
+boxes = st.tuples(
+    st.floats(0, 1000), st.floats(0, 1000), st.floats(1, 200), st.floats(1, 60)
+).map(lambda t: [[t[0], t[1]], [t[0] + t[2], t[1]], [t[0] + t[2], t[1] + t[3]], [t[0], t[1] + t[3]]])
+
+lines = st.lists(
+    st.builds(
+        lambda b, c, t: {"bbox": b, "confidence": round(c, 4), "text": t},
+        boxes,
+        st.floats(0.3, 1.0),
+        st.sampled_from(["alpha beta", "gamma delta", "epsilon zeta"]),
+    ),
+    max_size=12,
+)
+
+
+@given(lines)
+@settings(max_examples=50, deadline=None)
+def test_dedup_idempotent(ls):
+    once = deduplicate_lines(ls)
+    twice = deduplicate_lines(once)
+    assert twice == once
+
+
+@given(lines)
+@settings(max_examples=50, deadline=None)
+def test_dedup_never_grows_and_keeps_subset(ls):
+    out = deduplicate_lines(ls)
+    assert len(out) <= len(ls)
+    for line in out:
+        assert line in ls
+
+
+@given(st.integers(1, 50000), st.integers(100, 3000), st.integers(0, 99))
+@settings(max_examples=100, deadline=None)
+def test_tile_spans_cover_image(height, tile, overlap):
+    overlap = min(overlap, tile - 1)  # overlap < tile or the loop can't advance
+    bands = tile_spans(height, tile, overlap)
+    assert bands[0][0] == 0
+    assert bands[-1][1] == height
+    for (a0, a1), (b0, b1) in zip(bands, bands[1:]):
+        assert b0 <= a1  # contiguous (equality when overlap=0): no gaps
+    for y0, y1 in bands:
+        assert y1 - y0 <= tile
+
+
+@given(boxes, boxes)
+@settings(max_examples=100, deadline=None)
+def test_iou_bounds_and_symmetry(b1, b2):
+    v = bbox_iou(b1, b2)
+    assert 0.0 <= v <= 1.0 + 1e-9
+    assert abs(v - bbox_iou(b2, b1)) < 1e-9
+    assert bbox_iou(b1, b1) == 1.0
+
+
+@given(lines)
+@settings(max_examples=50, deadline=None)
+def test_reading_order_is_total_and_stable(ls):
+    ordered = sorted(
+        ls, key=lambda l: (bbox_bounds(l["bbox"])[1], bbox_bounds(l["bbox"])[0])
+    )
+    assert sorted(
+        ordered, key=lambda l: (bbox_bounds(l["bbox"])[1], bbox_bounds(l["bbox"])[0])
+    ) == ordered
