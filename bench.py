@@ -19,7 +19,7 @@ from chapterbridge_ocr_worker_spark.conf import get_spark
 from chapterbridge_ocr_worker_spark.queries import QUERIES
 
 BENCH_QUERIES = [
-    "extract_e2e",
+    "extract_e2e_full",
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
@@ -54,7 +54,7 @@ def main() -> None:
         n = df.count()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
-        if name == "extract_e2e":
+        if name == "extract_e2e_full":
             extra["extract_docs"] = n
             extra["extract_docs_per_sec"] = round(n / dt, 2) if dt > 0 else 0.0
     total = round(sum(timings.values()), 3)

@@ -52,7 +52,7 @@ def get_spark(
         # workers/ocr/main.py:227-230).
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -14,6 +14,8 @@ Behavior is shaped so every branch of the adaptive pipeline gets real work:
 
 from __future__ import annotations
 
+import hashlib
+import os
 from dataclasses import dataclass
 
 from .base import LineDict
@@ -22,6 +24,25 @@ from .fakeimg import FakeImage, decode as fake_decode
 DROP_SCORE = 0.3        # reference ocr_engine.py:50 (PaddleOCR drop_score)
 ENHANCE_BOOST = 96      # contrast points added by the stub "CLAHE"
 MIN_VISIBLE_FRAC = 0.5  # a line is detected iff ≥50% of its height is in-tile
+
+# Calibrated compute emulation: a real recognizer costs time proportional to
+# pixels (reference: 1-3s short / 8-20s long images on an A5000,
+# DEPLOY_RUNPOD.md:165-168). OCR_STUB_COST=k burns ~k sha256 rounds per
+# 100k pixels per recognize() call, so throughput benchmarks exercise the
+# compute-bound profile a real engine has. 0 (default) = off for fast CI.
+try:
+    _COST = int(os.environ.get("OCR_STUB_COST", "0"))
+except ValueError:  # bad env must not kill every executor worker at import
+    _COST = 0
+_BURN_BUF = b"\x5a" * 262144
+
+
+def _burn(pixels: int) -> None:
+    if _COST <= 0:
+        return
+    h = hashlib.sha256()
+    for _ in range(max(1, pixels * _COST // 100_000)):
+        h.update(_BURN_BUF)
 
 
 @dataclass(frozen=True)
@@ -53,6 +74,7 @@ class StubEngine:
         return StubTile(tile.image, tile.y_start, tile.y_end, enhanced=True)
 
     def recognize(self, tile: StubTile) -> list[LineDict]:
+        _burn(tile.image.width * (tile.y_end - tile.y_start))
         out: list[LineDict] = []
         for ln in tile.image.lines:
             top, bot = ln.y, ln.y + ln.h

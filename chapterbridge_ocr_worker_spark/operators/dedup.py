@@ -126,15 +126,37 @@ def minhash_signatures(
 
 
 def minhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est: float = 0.5,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket, with the
-    minhash-estimated Jaccard. Shuffle key = (band_id, band_hash) — uniform
-    unless many docs are true near-dups (then AQE skew-split handles it)."""
+    minhash-estimated Jaccard >= min_est.
+
+    Scale shape: shuffle key = (band_id, band_hash) — uniform unless many
+    docs are true near-dups (AQE skew-split then kicks in). The estimate
+    filter runs BEFORE the pair-dedup aggregation so the second shuffle
+    only carries surviving pairs; pair-dedup is a groupBy (not distinct)
+    so Spark gets a partial (map-side) aggregate for free.
+    """
     sigs = minhash_signatures(df, text_col, id_col)
     exploded = sigs.select(
         "id", "sig", F.posexplode("bands").alias("band_id", "band_hash")
     )
+    # Degenerate-bucket cap: a band bucket holding b docs yields b^2/2 pairs,
+    # so one hot bucket (boilerplate-heavy corpora) turns the join quadratic.
+    # Standard LSH hygiene is to drop buckets above a cap — those collisions
+    # carry no discriminative signal anyway. Cap is per-BUCKET, so recall for
+    # normal near-dup clusters (<< cap) is unaffected.
+    bucket_sizes = exploded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    keep_buckets = bucket_sizes.filter(F.col("bucket_n") <= max_bucket).select(
+        "band_id", "band_hash"
+    )
+    exploded = exploded.join(keep_buckets, ["band_id", "band_hash"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     matching = F.aggregate(
@@ -155,7 +177,9 @@ def minhash_candidates(
             F.col("b.id").alias("id_b"),
             F.round(est, 4).alias("est_jaccard"),
         )
-        .distinct()
+        .filter(F.col("est_jaccard") >= min_est)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 

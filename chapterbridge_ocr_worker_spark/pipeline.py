@@ -52,11 +52,26 @@ def run_extraction(
     media: DataFrame,
     lineage: DataFrame | None = None,
     num_partitions: int | None = None,
+    explicit_repartition: bool = True,
 ) -> PipelineResult:
     """Build (lazily) the full extraction DAG. Caller materializes via
     write_run / collect. ``lineage`` (previous runs' done docs) enables
-    resume."""
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    resume.
+
+    explicit_repartition: hash-spread span work units (xxhash64(doc_id,
+    offset)) to num_partitions before the OCR UDF. Default ON, and the
+    reason is AQE: AQE sizes post-shuffle partitions by BYTES (64 MB
+    advisory), but the OCR UDF is COMPUTE-bound — on a corpus of small
+    images AQE coalesces the media-join output to a handful of partitions
+    and strangles the UDF (measured 42 s -> 18 s at local[32] with a
+    calibrated compute-bound stub when the explicit repartition pins the
+    partition count). Turn OFF only for decode-light/IO-bound passes where
+    the extra shuffle of image bytes (~25-35% of wall) isn't paid back."""
+    # 4 tasks per slot: per-image cost varies 10-20x (NO_TILE page vs a
+    # 30k-px webtoon), so 1 task/slot lets one slow partition gate the whole
+    # stage (measured 2.3x run-to-run variance at local[32]); finer tasks
+    # let the scheduler rebalance.
+    n = num_partitions or spark.sparkContext.defaultParallelism * 4
     pending = pending_documents(documents, lineage)
 
     spans = explode_spans(pending)
@@ -69,7 +84,7 @@ def run_extraction(
         media.select("media_ref", "content"), "media_ref", "left"
     )
 
-    distributed = repartition_spans(with_bytes, n)
+    distributed = repartition_spans(with_bytes, n) if explicit_repartition else with_bytes
     ocr_results = ocr_media_spans(distributed)
     _, failures = split_failures(ocr_results)
 

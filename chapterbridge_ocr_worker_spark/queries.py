@@ -938,10 +938,11 @@ def stream_hourly(spark, sf_dir):
 )
 def multimodal_meta_q(spark, sf_dir):
     from .operators.multimodal import extract_media_metadata
-    from .sources.interleave import interleaveify
+    from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    _, media = interleaveify(flat)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    _, media = interleaveify_cached(flat, key)
     return extract_media_metadata(media).select(
         "media_ref", "byte_size", "format", "width", "height", "n_regions"
     )
@@ -955,10 +956,11 @@ def multimodal_meta_q(spark, sf_dir):
 )
 def extract_e2e_q(spark, sf_dir):
     from .pipeline import run_extraction
-    from .sources.interleave import interleaveify
+    from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    docs, media = interleaveify(flat)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    docs, media = interleaveify_cached(flat, key)
     res = run_extraction(spark, docs, media)
     return res.output.select(
         "doc_id",
@@ -975,4 +977,27 @@ def extract_e2e_q(spark, sf_dir):
                 ),
             )
         ).alias("ocr_chars"),
+    )
+
+
+@q(
+    "extract_e2e_full",
+    None,  # full OCR pipeline at corpus scale -> rows-only; bench flagship
+    "flagship at scale: extraction over the ENTIRE interleave-ified documents "
+    "table of the sf_dir (bench.py's headline; extract_e2e is the small gate)",
+)
+def extract_e2e_full_q(spark, sf_dir):
+    from .pipeline import run_extraction
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents")
+    key = sf_dir.strip("/").replace("/", "_") + "_full"
+    docs, media = interleaveify_cached(flat, key)
+    res = run_extraction(spark, docs, media)
+    return res.output.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
+            "n_media"
+        ),
     )

@@ -1,0 +1,52 @@
+"""Physical-plan shape pins — the 100 TB hygiene checks from SURVEY.md §4.
+
+These fail if a future change silently loses column pruning, predicate
+pushdown, or broadcast joins, or adds shuffles to the extraction DAG."""
+
+from chapterbridge_ocr_worker_spark.plans import inspect as pi
+from chapterbridge_ocr_worker_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["p2_eq_conjunction"].fn(spark, SF)
+    pushed = pi.pushed_filters(df, "orders")
+    assert "EqualTo(o_orderstatus,F)" in pushed
+    assert "EqualTo(o_orderpriority,1-URGENT)" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["q3_topk_revenue"].fn(spark, SF)
+    schema = pi.scan_read_schema(df, "lineitem")
+    # 3 of 11 lineitem columns
+    assert "l_orderkey" in schema and "l_extendedprice" in schema
+    assert "l_shipdate" not in schema and "l_partkey" not in schema
+
+
+def test_dimension_joins_broadcast(spark):
+    df = QUERIES["j3_dim_chain"].fn(spark, SF)
+    assert pi.count_broadcast_joins(df) >= 2  # nation + region
+    plan = pi.formatted(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_shuffle_budget(spark):
+    """The extraction DAG over pre-materialized input must stay at its
+    designed shuffle count: media join + reassembly groupBy (+1 each in the
+    AQE initial-plan echo). The explicit pre-UDF repartition is opt-in."""
+    import chapterbridge_ocr_worker_spark.sources.tables  # noqa: F401
+    from chapterbridge_ocr_worker_spark import datagen, schemas
+    from chapterbridge_ocr_worker_spark.pipeline import run_extraction
+
+    docs, media = datagen.generate_corpus(n_docs=6, seed=5, corrupt_fraction=0.0)
+    ddf = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    mdf = spark.createDataFrame(media, schema=schemas.MEDIA)
+    out = run_extraction(spark, ddf, mdf).output
+    # join (2 sides) + pre-UDF repartition (pins UDF parallelism against
+    # AQE byte-based coalescing) + reassembly groupBy = 4
+    assert pi.count_exchanges(out) == 4
+    plan = pi.formatted(out)
+    # exactly the OCR stage (AQE may echo the node in the initial-plan
+    # section, hence <= 2, never the 4x of the uncached-input regression)
+    assert 1 <= plan.count("MapInPandas") <= 2
