@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,35 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 _ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _ROOT)
 
+from chapterbridge_ocr_worker_spark.conf import ship_package as _ensure_shipped  # noqa: E402
 from chapterbridge_ocr_worker_spark.queries import QUERIES  # noqa: E402
-
-_SHIPPED: set[int] = set()
-
-
-def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executors (programmatic --py-files).
-
-    The driver process imports this file by path, but Spark's Python
-    workers unpickle mapInPandas closures by module name — without this,
-    any session lacking PYTHONPATH=/root/repo fails with
-    ModuleNotFoundError inside executors. addPyFile works identically on
-    a real multi-executor cluster.
-    """
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    pkg = os.path.join(_ROOT, "chapterbridge_ocr_worker_spark")
-    zpath = os.path.join(
-        tempfile.gettempdir(), "chapterbridge_ocr_worker_spark_pyfiles.zip"
-    )
-    with zipfile.ZipFile(zpath, "w") as z:
-        for dirpath, _, files in os.walk(pkg):
-            for fname in files:
-                if fname.endswith(".py"):
-                    full = os.path.join(dirpath, fname)
-                    z.write(full, os.path.relpath(full, _ROOT))
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

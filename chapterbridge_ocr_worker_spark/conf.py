@@ -10,6 +10,8 @@ full batches without blowing memory on image bytes.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -57,4 +59,36 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (programmatic ``--py-files``).
+
+    Python workers unpickle mapInPandas/applyInPandasWithState closures by
+    MODULE NAME — a session whose environment lacks this repo on PYTHONPATH
+    dies inside executors with ModuleNotFoundError. get_spark() calls this
+    automatically; callers with their own SparkSession call it once. Same
+    mechanics as `spark-submit --py-files pkg.zip` on a real cluster.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), "chapterbridge_ocr_worker_spark_pyfiles.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_root):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    z.write(full, os.path.relpath(full, parent))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)

@@ -1001,3 +1001,140 @@ def extract_e2e_full_q(spark, sf_dir):
             "n_media"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (north-rule family) + additional OLAP shapes
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "html_strip_tags",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               '<html><p>' || text || '</p><nav>home about</nav></html>',
+               '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS stripped
+    FROM documents WHERE doc_id < 200
+    """,
+    "HTML boilerplate strip, column-expression path (north-rule: main-content "
+    "extraction). HTML synthesized identically in both engines",
+)
+def html_strip_q(spark, sf_dir):
+    from .operators.html_extract import strip_tags_col
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit("<html><p>"), "text", F.lit("</p><nav>home about</nav></html>")
+    )
+    return d.select("doc_id", strip_tags_col(html).alias("stripped"))
+
+
+@q(
+    "html_main_content",
+    None,  # DOM-heuristic extraction (stdlib html.parser UDF) -> rows-only
+    "main-content extraction with DOM heuristics: kill chrome subtrees, "
+    "link-density block scoring (boilerpipe-style), title pull",
+)
+def html_main_q(spark, sf_dir):
+    from .operators.html_extract import extract_main_content, wrap_in_boilerplate
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wrap = F.udf(wrap_in_boilerplate)
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        wrap(F.col("doc_id").cast("string"), F.col("text")).alias("html"),
+    )
+    return extract_main_content(docs).select(
+        "doc_id", "title", F.length("main_text").alias("main_chars"), "n_kept", "n_dropped"
+    )
+
+
+@q(
+    "asof_last_view_before_purchase",
+    """
+    SELECT event_id, user_id, last_view_epoch FROM (
+      SELECT event_id, user_id, event_type,
+             MAX(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_epoch
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ) WHERE event_type = 'purchase'
+    """,
+    "as-of join (Spark lacks a native one): each purchase matched to the "
+    "user's latest strictly-prior view via a bounded window",
+)
+def asof_q(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.unix_timestamp("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_view_epoch", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_view_epoch")
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "ROLLUP grouping-sets aggregation (OLAP completeness)",
+)
+def rollup_q(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot: status counts per priority (Spark .pivot vs CASE-WHEN twin)",
+)
+def pivot_q(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@q(
+    "emb_cosine_neardup",
+    None,  # LSH-blocked (xxhash planes) -> rows-only
+    "embedding-cosine near-duplicate pairs via LSH blocking + exact re-rank",
+)
+def emb_neardup_q(spark, sf_dir):
+    from .operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.9, bits=6
+    )

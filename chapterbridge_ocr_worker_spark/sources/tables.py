@@ -54,3 +54,31 @@ def read_table(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*parquet_dirs)
+
+
+def merge_upsert(
+    spark: SparkSession, root: str, name: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """MERGE INTO stand-in (Iceberg: WHEN MATCHED UPDATE / NOT MATCHED INSERT;
+    reference upserts segment_assets on conflict keys,
+    supabase_client.py:205-213). Parquet has no row-level ops, so: keep
+    existing rows whose keys DON'T collide (anti-join), union the updates,
+    rewrite via a staging directory and atomic-ish swap."""
+    import shutil
+
+    existing = read_table(spark, root, name)
+    if existing is None:
+        write_table(updates, root, name)
+        return
+    merged = existing.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(updates)
+    staging = table_path(root, f".{name}.staging")
+    merged.write.mode("overwrite").parquet(staging)
+    final = table_path(root, name)
+    old = table_path(root, f".{name}.old")
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(final, old)
+    os.rename(staging, final)
+    shutil.rmtree(old)
