@@ -1138,3 +1138,53 @@ def emb_neardup_q(spark, sf_dir):
     return cosine_neardup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.9, bits=6
     )
+
+
+@q(
+    "pdf_layout_parse",
+    None,  # binary layout kernel (mapInPandas) -> rows-only
+    "PDF/layout parse (north-rule family): binary docs -> reading-ordered "
+    "typed blocks -> relational main-content assembly",
+)
+def pdf_layout_q(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from .engine.fakepdf import PdfBlock, encode
+    from .operators.layout import main_text_from_blocks, parse_layout
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.StringType()),
+            TT.StructField("content", TT.BinaryType()),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # deterministic synthetic PDFs: title heading + one paragraph per
+        # 15 words + a noise caption, two pages if long
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split()
+                paras = [
+                    " ".join(words[i : i + 15]) for i in range(0, len(words), 15)
+                ] or ["(empty)"]
+                page = [PdfBlock("heading", 10, 10, 500, 30, f"Doc {doc_id}")]
+                y = 60
+                for p in paras:
+                    page.append(PdfBlock("paragraph", 10, y, 500, 40, p))
+                    y += 50
+                page.append(PdfBlock("caption", 10, y, 200, 15, "fig: noise"))
+                ids.append(str(doc_id))
+                blobs.append(encode([page]))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    docs = d.select(F.col("doc_id").cast("string"), "text").mapInPandas(
+        render, schema=out_schema
+    )
+    return main_text_from_blocks(parse_layout(docs))
