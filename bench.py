@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "stream_hourly_agg",
+    "asof_last_view_before_purchase",
+    "rollup_revenue",
+    "html_strip_tags",
+    "html_main_content",
+    "pdf_layout_parse",
 ]
 
 
