@@ -1188,3 +1188,119 @@ def pdf_layout_q(spark, sf_dir):
         render, schema=out_schema
     )
     return main_text_from_blocks(parse_layout(docs))
+
+
+@q(
+    "salted_group_stats",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+    "O12 skew control: two-phase salted aggregation — partial agg on "
+    "(key, salt), final agg on key; result identical to a plain groupBy "
+    "(the oracle), but the first shuffle spreads a hot key over 16 buckets",
+)
+def salted_stats_q(spark, sf_dir):
+    from .operators.skew import with_salt
+
+    ev = t(spark, sf_dir, "events").withColumn("one", F.length("event_type"))
+    # every key treated as hot (threshold 0) to exercise the full path
+    salted = with_salt(ev, key="event_type", buckets=16, threshold_col="one", threshold=0)
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("sum_v")
+    )
+
+
+@q(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS price_r, rk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 5
+    """,
+    "top-k per group (window + row_number), the classic OLAP pattern",
+)
+def topk_per_group_q(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            "rk",
+        )
+    )
+
+
+@q(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE grouping-sets (all 4 grouping combinations)",
+)
+def cube_q(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "d4_except_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "D4 set difference as a real EXCEPT (distinct semantics)",
+)
+def except_q(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep a
+    # custkey that appears more often in O than F, which EXCEPT does not
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@q(
+    "d3_union_dedup",
+    """
+    SELECT DISTINCT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+    "D3 union-of-passes then dedup, lifted to relational form",
+)
+def union_q(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .unionByName(
+            o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+        )
+        .distinct()
+    )
