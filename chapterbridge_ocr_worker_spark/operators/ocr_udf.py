@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..engine.base import get_engine
-from ..engine.inner import lines_to_text, run_adaptive
+from ..engine.inner import dispatch, lines_to_text
 from ..schemas import ERROR_TRUNCATE, OCR_RESULT
 
 
@@ -52,7 +52,10 @@ def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 if content is None:
                     raise ValueError("media_ref has no content (missing blob)")
-                res = run_adaptive(bytes(content), engine)
+                # mode dispatch (reference main.py:129-166): adaptive by
+                # default; OCR_ADAPTIVE=false + OCR_USE_TILING select the
+                # legacy fixed-tile or plain single-pass paths
+                res = dispatch(bytes(content), engine)
                 lines = res["lines"]
                 row.update(
                     text=lines_to_text(lines),
