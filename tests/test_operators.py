@@ -152,3 +152,26 @@ def test_multimodal_metadata_and_error_routing(spark):
     b = rows["ref/bad"]
     assert b["format"] == "jpeg"
     assert b["error"] is not None  # real decode stubbed -> NotImplementedError routed
+
+
+def test_cosine_neardup_pairs_fire_on_near_identical_vectors(spark):
+    from pyspark.sql import Row
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in cosine_neardup_pairs(
+            spark.createDataFrame(rows), threshold=0.95, bits=4
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(a == 0 and b == 1 for a, b in pairs)  # orthogonal vecs excluded
