@@ -269,26 +269,29 @@ def run_plain(data: bytes, engine: Engine) -> dict[str, Any]:
 def run_with_tiling(data: bytes, engine: Engine) -> dict[str, Any]:
     """Legacy fixed-tile pipeline (reference run_ocr_with_tiling,
     ocr_engine.py:758-869): tile at OCR_TILE_HEIGHT (2000) / OCR_TILE_OVERLAP
-    (200), optional whole-tile enhanced second pass (OCR_TWO_PASS), dedup v1
-    at OCR_IOU_THRESHOLD (0.5 on this path), reading-order sort; any fatal
-    error falls back to run_plain (reference :864-869)."""
+    (200), dedup v1 at OCR_IOU_THRESHOLD (0.5 on this path), reading-order
+    sort; any fatal error falls back to run_plain (reference :864-869).
+
+    Reference parity corners: OCR_TWO_PASS is read but DEAD in the reference
+    (run_ocr_with_tiling logs use_two_pass and never runs a second pass) —
+    same here; and a single tile's failure skips just that tile (per-tile
+    try/except continue, reference :817-836), not the whole image."""
     try:
         image = engine.decode(data)
         width, height = engine.dimensions(image)
         tile_height = _env_int("OCR_TILE_HEIGHT", 2000)
         overlap = _env_int("OCR_TILE_OVERLAP", 200)
-        two_pass = _ENV("OCR_TWO_PASS", "false").lower() == "true"
+        _ = _ENV("OCR_TWO_PASS", "false")  # dead flag, reference :767-771
         iou_thr = float(_ENV("OCR_IOU_THRESHOLD", "0.5"))
         sim_thr = float(_ENV("OCR_TEXT_SIM_THRESHOLD", "0.7"))
 
         all_lines: list[LineDict] = []
         for y0, y1 in tile_spans(height, tile_height, overlap):
-            tile = engine.crop(image, y0, y1)
-            all_lines.extend(_translate(engine.recognize(tile), y0))
-            if two_pass:
-                all_lines.extend(
-                    _translate(engine.recognize(engine.enhance(tile)), y0)
-                )
+            try:
+                tile = engine.crop(image, y0, y1)
+                all_lines.extend(_translate(engine.recognize(tile), y0))
+            except Exception:
+                continue  # skip the bad tile, keep the rest (reference :834-836)
         deduped = deduplicate_boxes(all_lines, iou_thr, sim_thr)
         return {
             "width": width,
@@ -301,10 +304,13 @@ def run_with_tiling(data: bytes, engine: Engine) -> dict[str, Any]:
 
 
 def dispatch(data: bytes, engine: Engine) -> dict[str, Any]:
-    """Mode dispatch (reference main.py:129-166): OCR_ADAPTIVE -> adaptive
-    (our default — it is the reference's production/flagship path); else
-    OCR_USE_TILING in {always, never, auto}, auto = tile iff height > 2000."""
-    if _ENV("OCR_ADAPTIVE", "true").lower() == "true":
+    """Mode dispatch (reference main.py:129-166): OCR_ADAPTIVE -> adaptive;
+    else OCR_USE_TILING in {always, never, auto}, auto = tile iff
+    height > 2000. Default OCR_ADAPTIVE=false matches the reference
+    (main.py:132) — out of the box this dispatches exactly like the worker.
+    The flagship Spark pipeline selects adaptive EXPLICITLY (ocr_udf.py
+    mode="adaptive"), not via this env default."""
+    if _ENV("OCR_ADAPTIVE", "false").lower() == "true":
         return run_adaptive(data, engine)
     use_tiling = _ENV("OCR_USE_TILING", "auto").lower()
     if use_tiling == "always":

@@ -45,9 +45,11 @@ def page_number(ref: Column) -> Column:
 
 def output_key(ref: Column, fallback_id: Column) -> Column:
     """Derived output key with the unknown/unknown fallback for refs that
-    don't match the grammar (key_parser.py:45-60)."""
+    don't match the grammar (key_parser.py:45-60). The page group keeps its
+    ``page-`` prefix — reference build_output_key (key_parser.py:58) emits
+    ``derived/manhwa/{work}/{edition}/{chapter}/ocr/{page}.json`` with the
+    full ``page-NNN`` stem."""
     parsed = parse_key(ref)
-    page_stem = F.regexp_replace(parsed["page_file"], r"^page-", "")
     return F.when(
         parsed["is_valid"],
         F.format_string(
@@ -55,7 +57,7 @@ def output_key(ref: Column, fallback_id: Column) -> Column:
             parsed["work_id"],
             parsed["edition_id"],
             parsed["chapter_dir"],
-            page_stem,
+            parsed["page_file"],
         ),
     ).otherwise(
         F.format_string("derived/manhwa/unknown/unknown/ocr/%s.json", fallback_id)

@@ -93,7 +93,9 @@ def run_extraction(
     assembled = reassemble(
         text_spans, ocr_results.select("doc_id", "offset", "media_ref", "text")
     )
-    lineage_out = build_lineage(assembled)
+    # docs with a failed span stay OUT of lineage -> the next run's anti-join
+    # retries them (reference retryable-failure semantics, main.py:236-242)
+    lineage_out = build_lineage(assembled, failures)
     return PipelineResult(
         output=assembled,
         failures=failures,
@@ -133,13 +135,21 @@ def write_run(
             F.col("kind") == "text"
         ),
         ocr_cached.select("doc_id", "offset", "media_ref", "text"),
+    )
+    # Only fully-successful docs are committed: output-exists <=> lineage-row,
+    # exactly the reference's skip rule (main.py:107-120 skips iff the output
+    # object exists; failed jobs stay retryable, main.py:236-242). Docs with
+    # >=1 dead-lettered span are retried by the next run's anti-join.
+    completed = assembled.join(
+        failures.select("doc_id").distinct(), "doc_id", "left_anti"
     ).persist()
-    n_docs = assembled.count()
+    n_docs = completed.count()
+    n_failed = failures.select("doc_id").distinct().count()
 
-    tables.append_snapshot(assembled, warehouse, "ocr_output")
-    tables.append_snapshot(build_lineage(assembled), warehouse, "lineage")
+    tables.append_snapshot(completed, warehouse, "ocr_output")
+    tables.append_snapshot(build_lineage(completed), warehouse, "lineage")
     tables.append_snapshot(failures, warehouse, "failures")
     tables.append_snapshot(checkpoint_rows(ok, wall), warehouse, "checkpoint")
-    assembled.unpersist()
+    completed.unpersist()
     ocr_cached.unpersist()
-    return {"docs": n_docs, "wall_seconds": wall}
+    return {"docs": n_docs, "failed_docs": n_failed, "wall_seconds": wall}

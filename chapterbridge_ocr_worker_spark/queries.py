@@ -177,8 +177,8 @@ def p5_in(spark, sf_dir):
     "p6_validation_split",
     """
     SELECT event_type,
-           SUM(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS n_valid,
-           SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_invalid
+           CAST(SUM(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
     FROM events GROUP BY event_type
     """,
     "P6: validate-or-dead-letter routing as a when() split (main.py:65-74)",
@@ -1111,9 +1111,9 @@ def rollup_q(spark, sf_dir):
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
     "pivot: status counts per priority (Spark .pivot vs CASE-WHEN twin)",

@@ -62,6 +62,36 @@ def test_legacy_fatal_falls_back_then_propagates():
         run_plain(b"corrupt", eng)
 
 
+def test_legacy_tiling_skips_failed_tile_only():
+    # per-tile try/except (reference ocr_engine.py:817-836): one bad tile is
+    # skipped, detections from the other tiles survive
+    class FlakyEngine(StubEngine):
+        def recognize(self, tile):
+            if tile.y_start == 1800:  # second tile of 800x4000 @ 2000/200
+                raise RuntimeError("simulated tile failure")
+            return super().recognize(tile)
+
+    lines = [
+        FakeLine(10, 100, 200, 30, 200, "top"),       # tile 0 only
+        FakeLine(10, 2500, 200, 30, 200, "middle"),   # failing tile only
+        FakeLine(10, 3700, 200, 30, 200, "bottom"),   # tile 2 only
+    ]
+    res = run_with_tiling(encode(800, 4000, lines), FlakyEngine())
+    assert res["strategy"] == "TILING_LEGACY"
+    assert [l["text"] for l in res["lines"]] == ["top", "bottom"]
+
+
+def test_dispatch_default_is_reference_legacy(monkeypatch):
+    # reference main.py:132 defaults OCR_ADAPTIVE=false -> legacy auto mode
+    monkeypatch.delenv("OCR_ADAPTIVE", raising=False)
+    monkeypatch.delenv("OCR_USE_TILING", raising=False)
+    eng = StubEngine()
+    tall = encode(800, 2500, [FakeLine(10, 100, 200, 30, 200, "x")])
+    short = encode(800, 900, [FakeLine(10, 100, 200, 30, 200, "x")])
+    assert dispatch(tall, eng)["strategy"] == "TILING_LEGACY"
+    assert dispatch(short, eng)["strategy"] == "PLAIN"
+
+
 def test_dispatch_modes(monkeypatch):
     eng = StubEngine()
     tall = encode(800, 2500, [FakeLine(10, 100, 200, 30, 200, "x")])

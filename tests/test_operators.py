@@ -43,7 +43,8 @@ def test_key_parse_valid_and_invalid(spark):
     assert valid["p"]["work_id"] == "w1"
     assert valid["p"]["is_valid"] is True
     assert (valid["ch"], valid["pg"]) == (42, 7)
-    assert valid["out"] == "derived/manhwa/w1/e2/chapter-0042/ocr/007.json"
+    # reference build_output_key keeps the page- prefix (key_parser.py:58)
+    assert valid["out"] == "derived/manhwa/w1/e2/chapter-0042/ocr/page-007.json"
     assert invalid["p"]["is_valid"] is False
     assert invalid["ch"] is None and invalid["pg"] is None
     assert invalid["out"] == "derived/manhwa/unknown/unknown/ocr/FALLBACK.json"
