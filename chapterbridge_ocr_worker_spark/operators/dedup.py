@@ -4,18 +4,31 @@ Five families, each scale-shaped for a 1000-executor cluster:
 
 - exact:        md5(normalized text) group-by, keep min id. One shuffle on
                 the 128-bit hash — uniform by construction, no skew.
-- ngram-Jaccard: exact token-set Jaccard on candidate pairs produced by a
-                cheap blocking key (no O(n^2) cross join).
-- MinHash+LSH:  K permutations via (a*h + b) mod p over xxhash64 token ints,
-                banded into B buckets; candidate pairs = self-join on
-                (band_id, band_hash) — the classic shingle->minhash->band
-                pipeline, all in column expressions.
-- SimHash:      64-bit signature from per-token xxhash64 bit votes; near-dups
-                = equal signature (or banded hamming buckets at scale).
+- MinHash+LSH:  K permutations via (a*h + b) mod p over token hashes, banded
+                into B buckets; candidate pairs = self-join on the band
+                bucket — the classic shingle->minhash->band pipeline, all in
+                column expressions.
+- ngram-Jaccard: exact token-set Jaccard re-rank over the MinHash band
+                candidates (jaccard_pairs_lsh) — the scale path. The generic
+                block_col variant (jaccard_pairs) remains for small
+                within-block scopes; it is quadratic in the block and must
+                never see a low-cardinality key at scale.
+- SimHash:      62-bit signature from per-token hash bit votes; near-dups =
+                hamming-banded bucket join + popcount(xor) re-rank
+                (recall 1.0 for hamming <= 3 by pigeonhole over 4 bands).
 - embedding:    cosine near-dup over array<float> — see similarity.py.
 
-Everything is built-in functions (higher-order array ops, xxhash64) — no
-Python UDFs, so it all stays in codegen and scales linearly.
+Everything is built-in functions (higher-order array ops) — no Python UDFs,
+so it all stays in codegen and scales linearly.
+
+Hashing is PORTABLE by design: a polynomial fold (acc*31 + codepoint) % p
+over the token's characters, reproducible bit-for-bit in any engine with
+char-split + ord (the DuckDB twins in queries.py recompute the full
+MinHash/SimHash pipeline and hash-match). Dedup decisions therefore survive
+an engine migration — rerunning the corpus on a different system keeps the
+same keep/drop set, which is what makes incremental dedup of a 100 TB corpus
+possible without a full recompute. (xxhash64 stays in skew.py where only
+partitioning uniformity matters.)
 """
 
 from __future__ import annotations
@@ -30,10 +43,16 @@ MH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
 MH_K = 32
 MH_BANDS = 8
 MH_ROWS = MH_K // MH_BANDS
+_BAND_MULT = 1_000_003  # band-fold multiplier (acc < p, acc*mult+x < 2^52)
 # deterministic permutation coefficients (seeded once, hard-coded so every
 # run/cluster/engine agrees)
 _A = [1 + 2 * i * 7919 % MH_PRIME for i in range(MH_K)]
 _B = [(i * 104729 + 12345) % MH_PRIME for i in range(MH_K)]
+
+# SimHash: 62 usable bits (two 31-bit portable folds combined), banded
+# 16/16/16/14 for the hamming-candidate join.
+SIM_BITS = 62
+SIM_BAND_EDGES = [(0, 16), (16, 16), (32, 16), (48, 14)]  # (shift, width)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,6 +68,17 @@ def token_set(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def portable_token_hash(tok: Column, mult: int = 31) -> Column:
+    """Polynomial rolling hash over codepoints, mod 2^31-1. JVM-side
+    (split + ascii inside one HOF aggregate) AND reproducible in DuckDB as
+    list_reduce(list_prepend(0, list_transform(string_split(s,''), ord)))."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % F.lit(MH_PRIME),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     block_col: str,
@@ -58,9 +88,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact token-set Jaccard over blocked candidate pairs.
 
-    Blocking bounds the pair count (pairs only form inside a block), the
-    standard trick to avoid the O(n^2) cross join; at 100 TB the block key
-    is the LSH band bucket from minhash_signatures().
+    Pairs only form inside a block, so the pair count is quadratic in the
+    block size — use ONLY with a high-cardinality block key on bounded
+    scopes (e.g. per-crawl-shard re-checks). The scale path for a whole
+    corpus is jaccard_pairs_lsh below.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -83,46 +114,109 @@ def jaccard_pairs(
     )
 
 
-def _token_ints(text: Column) -> Column:
-    """Distinct tokens -> positive 31-bit ints via xxhash64 (JVM-side)."""
-    return F.transform(
-        token_set(text), lambda t: F.pmod(F.xxhash64(t), F.lit(MH_PRIME))
-    )
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, signature array<int>[MH_K], band_hashes array<bigint>[MH_BANDS]).
+    """(id, toks, sig array<long>[MH_K], bands array<long>[MH_BANDS]).
 
-    signature[i] = min over tokens of (a_i * h(tok) + b_i) mod p; band j
-    hashes rows [j*r, (j+1)*r) into one bucket key.
+    signature[i] = min over tokens of (a_i * h(tok) + b_i) mod p; band j is
+    a fold of [j, sig[j*r] .. sig[j*r+r-1]] so the band index is baked into
+    the bucket value (one explode key, no (band_id, hash) pair needed).
     """
-    ints = _token_ints(F.col(text_col))
+    toks = token_set(F.col(text_col))
+    # hs is materialized as a real column so the per-char token hashing runs
+    # ONCE per doc; inlining the transform into each of the 32 aggregates
+    # would make Catalyst evaluate it 32x (measured ~3x wall on sf0.01).
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "hs", F.transform(F.col("toks"), lambda t: portable_token_hash(t))
+    )
 
     # NB: pyspark infers the HOF arity from the lambda's parameter count, so
     # binding loop vars via default args (lambda acc, x, i=i) breaks — use a
     # closure factory instead.
     def perm_min(i: int) -> Column:
         return F.aggregate(
-            ints,
+            F.col("hs"),
             F.lit(MH_PRIME).cast("long"),
             lambda acc, x: F.least(
                 acc, (F.lit(_A[i]) * x + F.lit(_B[i])) % F.lit(MH_PRIME)
             ),
         )
 
-    sig = F.array(*[perm_min(i) for i in range(MH_K)])
-    out = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(j), *[F.col("sig")[j * MH_ROWS + r] for r in range(MH_ROWS)]
-            )
-            for j in range(MH_BANDS)
-        ]
+    out = base.withColumn("sig", F.array(*[perm_min(i) for i in range(MH_K)])).drop(
+        "hs"
     )
-    return out.withColumn("bands", bands)
+
+    def band_hash(j: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for x in [F.lit(j).cast("long")] + [
+            F.col("sig")[j * MH_ROWS + r] for r in range(MH_ROWS)
+        ]:
+            acc = (acc * F.lit(_BAND_MULT) + x) % F.lit(MH_PRIME)
+        return acc
+
+    return out.withColumn("bands", F.array(*[band_hash(j) for j in range(MH_BANDS)]))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = 256) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs: docs sharing >=1 band bucket.
+
+    Scale shape: the explode carries only (id, bucket) — 16 bytes/row, NOT
+    the signature — so the bucket shuffle is narrow; wide columns (sig,
+    toks) are attached later by the consumer, keyed on id, uniform.
+
+    Degenerate-bucket cap: a bucket holding b docs yields b^2/2 pairs, so a
+    hot bucket (boilerplate-heavy corpora) turns the join quadratic.
+    Standard LSH hygiene drops buckets above a cap — those collisions carry
+    no discriminative signal. Cap is per-BUCKET, so recall for normal
+    near-dup clusters (<< cap) is unaffected.
+    """
+    e = sigs.select("id", F.explode("bands").alias("bh"))
+    keep = (
+        e.groupBy("bh")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("bh")
+    )
+    e = e.join(keep, "bh", "left_semi")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _est_pairs(sigs: DataFrame, min_est: float, max_bucket: int) -> DataFrame:
+    """(id_a, id_b, est_jaccard >= min_est) over capped band candidates.
+
+    sigs must be persisted by the caller: the signature plan has FIVE
+    consumers (bucket count, cap semi-join, both sides of the pair
+    self-join, and the attach joins), and without a materialization barrier
+    each one re-runs the whole signature computation — measured 120 s+ vs
+    ~5 s for the join itself at sf0.1. Same pattern as Spark ML's
+    MinHashLSH; at extreme scale write the signature table out instead.
+    """
+    pairs = lsh_candidate_pairs(sigs, max_bucket)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matching = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matching / F.lit(float(MH_K)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+    )
 
 
 def minhash_candidates(
@@ -132,79 +226,125 @@ def minhash_candidates(
     min_est: float = 0.5,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket, with the
-    minhash-estimated Jaccard >= min_est.
+    """Candidate near-dup pairs with minhash-estimated Jaccard >= min_est."""
+    sigs = (
+        minhash_signatures(df, text_col, id_col)
+        .select("id", "sig", "bands")  # toks not needed: keep the cache narrow
+        .persist()
+    )
+    return _est_pairs(sigs, min_est, max_bucket)
 
-    Scale shape: shuffle key = (band_id, band_hash) — uniform unless many
-    docs are true near-dups (AQE skew-split then kicks in). The estimate
-    filter runs BEFORE the pair-dedup aggregation so the second shuffle
-    only carries surviving pairs; pair-dedup is a groupBy (not distinct)
-    so Spark gets a partial (map-side) aggregate for free.
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.6,
+    min_est: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Exact token-set Jaccard >= threshold over MinHash-LSH band candidates.
+
+    The 100-TB shape for near-dup pairs: candidates come from the banded
+    bucket join (linear-ish: bounded by bands * bucket_cap^2/2 per bucket),
+    the signature-estimate filter (min_est, sig-only rows — 256 B) prunes
+    the candidate set BEFORE the wide token arrays are attached (measured
+    202 s -> ~40 s at sf0.1: array_intersect over millions of unpruned
+    pairs dominated), then exact Jaccard re-ranks the survivors. Recall is
+    the LSH S-curve 1-(1-s^r)^b (r=4, b=8: 0.67 at s=0.6, 0.9998 at s=0.9)
+    times the estimate tail P(Binom(32, s)/32 < min_est) (~0.1% at s=0.6
+    with min_est=0.35). All three stages are part of the DEFINED semantics:
+    the DuckDB twin recomputes the identical portable-hash pipeline, so the
+    output is engine-exact, not merely approximately equal.
     """
-    sigs = minhash_signatures(df, text_col, id_col)
-    exploded = sigs.select(
-        "id", "sig", F.posexplode("bands").alias("band_id", "band_hash")
-    )
-    # Degenerate-bucket cap: a band bucket holding b docs yields b^2/2 pairs,
-    # so one hot bucket (boilerplate-heavy corpora) turns the join quadratic.
-    # Standard LSH hygiene is to drop buckets above a cap — those collisions
-    # carry no discriminative signal anyway. Cap is per-BUCKET, so recall for
-    # normal near-dup clusters (<< cap) is unaffected.
-    bucket_sizes = exploded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_n")
-    )
-    keep_buckets = bucket_sizes.filter(F.col("bucket_n") <= max_bucket).select(
-        "band_id", "band_hash"
-    )
-    exploded = exploded.join(keep_buckets, ["band_id", "band_hash"], "left_semi")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    matching = F.aggregate(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    est = matching / F.lit(float(MH_K))
+    sigs = minhash_signatures(df, text_col, id_col).persist()
+    pairs = _est_pairs(sigs, min_est, max_bucket).select("id_a", "id_b")
+    ta = sigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = sigs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(est, 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= min_est)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per-bit vote sum of token xxhash64 bits; bit set iff
-    the vote is positive. Equal signatures = near-identical token bags."""
+def _token_hash62(tok: Column) -> Column:
+    """62-bit portable token hash: two independent 31-bit folds combined.
+    Value < 2^62, so every bit 0..61 is usable and int64-safe."""
+    return portable_token_hash(tok, 31) * F.lit(MH_PRIME) + portable_token_hash(
+        tok, 131
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """62-bit SimHash: per-bit vote sum of token-hash bits; bit set iff the
+    vote is positive. Near-identical token bags -> small hamming distance."""
     toks = token_set(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # materialize the 62-bit token hashes once (same reason as minhash: 62
+    # vote aggregates must not each re-run the per-char fold)
+    hashed = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
+        "hs", F.transform(F.col("toks"), lambda t: _token_hash62(t))
+    )
     one = F.lit(1).cast("long")
 
-    # F.shiftleft/shiftright take a Python int shift, so the 64 bit positions
-    # unroll at plan-build time (64 codegen'd expressions, still one pass).
+    # F.shiftright takes a Python int shift, so the bit positions unroll at
+    # plan-build time (62 codegen'd expressions, still one pass).
     def vote(bit: int) -> Column:
         return F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, bit).bitwiseAND(one) == 1, 1).otherwise(-1),
         )
 
     signature = F.lit(0).cast("long")
-    for bit in range(64):
-        # 1<<63 overflows signed long; its two's-complement value is the min
-        bit_val = F.lit(-(1 << 63)) if bit == 63 else F.lit(1 << bit).cast("long")
+    for bit in range(SIM_BITS):
         signature = signature.bitwiseOR(
-            F.when(vote(bit) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+            F.when(vote(bit) > 0, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return df.select(F.col(id_col).alias("id"), signature.alias("simhash"))
+    return hashed.select("id", signature.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: hamming-banded bucket join + popcount
+    re-rank.
+
+    The 62-bit signature splits into 4 bands (16/16/16/14 bits); any pair
+    within hamming distance <= 3 has >=1 band with zero differing bits
+    (pigeonhole), so the band join has recall 1.0 for the default threshold.
+    Re-rank = bit_count(xor) <= max_hamming, JVM-side. Same degenerate-
+    bucket cap as MinHash (identical docs all share all 4 bands).
+    """
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    band_cols = []
+    for idx, (shift, width) in enumerate(SIM_BAND_EDGES):
+        mask = F.lit((1 << width) - 1).cast("long")
+        # band index baked into the bucket value (value < 2^16, *4 safe)
+        band_cols.append(
+            F.shiftright(F.col("simhash"), shift).bitwiseAND(mask) * 4 + idx
+        )
+    banded = sigs.withColumn("bands", F.array(*band_cols))
+    pairs = lsh_candidate_pairs(banded, max_bucket)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -670,6 +670,81 @@ _NTOK_SQL = (
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+# --- DuckDB twins of the portable-hash MinHash/SimHash pipeline -----------
+# The Spark side (operators/dedup.py) hashes with a polynomial fold over
+# codepoints precisely so these oracles can recompute the ENTIRE LSH
+# pipeline — signatures, band buckets, degenerate-bucket cap, candidate
+# join, re-rank — and hash-match it, not just row-count it.
+
+
+def _phash_sql(s: str, mult: int = 31) -> str:
+    """DuckDB twin of dedup.portable_token_hash."""
+    from .operators.dedup import MH_PRIME
+
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {mult} + c) % {MH_PRIME})"
+    )
+
+
+_TOKSET_SQL = (
+    "list_distinct(CASE WHEN len(trim(text)) = 0 THEN [] "
+    f"ELSE {_TOKENS_SQL} END)"
+)
+
+
+def _minhash_cte_sql(max_bucket: int = 256) -> str:
+    """CTE chain: documents -> token sets -> minhash sigs -> band buckets ->
+    capped candidate pairs. Mirrors dedup.minhash_signatures +
+    dedup.lsh_candidate_pairs constant-for-constant."""
+    from .operators.dedup import _A, _B, _BAND_MULT, MH_BANDS, MH_K, MH_PRIME, MH_ROWS
+
+    sig_exprs = [
+        f"list_min(list_prepend(CAST({MH_PRIME} AS BIGINT), "
+        f"list_transform(hs, h -> ({_A[i]} * h + {_B[i]}) % {MH_PRIME})))"
+        for i in range(MH_K)
+    ]
+    band_exprs = []
+    for j in range(MH_BANDS):
+        expr = "CAST(0 AS BIGINT)"
+        for x in [f"CAST({j} AS BIGINT)"] + [
+            f"sig[{j * MH_ROWS + r + 1}]" for r in range(MH_ROWS)
+        ]:
+            expr = f"((({expr}) * {_BAND_MULT} + {x}) % {MH_PRIME})"
+        band_exprs.append(expr)
+    return f"""
+    WITH d AS (SELECT doc_id AS id, {_TOKSET_SQL} AS tk FROM documents),
+    h AS (SELECT id, tk, list_transform(tk, s -> {_phash_sql("s")}) AS hs FROM d),
+    s AS (SELECT id, tk, [{", ".join(sig_exprs)}] AS sig FROM h),
+    bb AS (SELECT id, [{", ".join(band_exprs)}] AS bands FROM s),
+    e AS (SELECT id, unnest(bands) AS bh FROM bb),
+    kept AS (SELECT bh FROM e GROUP BY bh HAVING COUNT(*) <= {max_bucket}),
+    ek AS (SELECT e.id, e.bh FROM e JOIN kept USING (bh)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM ek a JOIN ek b ON a.bh = b.bh AND a.id < b.id)
+    """
+
+
+def _simhash_cte_sql() -> str:
+    """CTE chain: documents -> 62-bit simhash signatures (bit votes over the
+    two-fold portable token hash). Mirrors dedup.simhash_signatures."""
+    from .operators.dedup import MH_PRIME, SIM_BITS
+
+    h62 = f"({_phash_sql('s', 31)} * {MH_PRIME} + {_phash_sql('s', 131)})"
+    bit_terms = [
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIM_BITS)
+    ]
+    return f"""
+    WITH d AS (SELECT doc_id AS id, {_TOKSET_SQL} AS tk FROM documents),
+    h AS (SELECT id, list_transform(tk, s -> {h62}) AS hs FROM d),
+    sim AS (SELECT id, {" + ".join(bit_terms)} AS simhash FROM h)
+    """
+
+
 @q(
     "text_token_count",
     f"SELECT doc_id, {_NTOK_SQL} AS n_tokens, n_chars FROM documents",
@@ -793,36 +868,50 @@ def dedup_exact_q(spark, sf_dir):
 
 @q(
     "dedup_jaccard_pairs",
-    """
-    WITH d AS (
-      SELECT doc_id, source,
-             list_distinct(CASE WHEN len(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(trim(text), '\\s+') END) AS tk
-      FROM documents
+    _minhash_cte_sql()
+    + """
+    , est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+      WHERE ROUND(list_sum(list_transform(generate_series(1, 32),
+                  k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                  / 32.0, 4) >= 0.35
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CASE WHEN len(ta.tk) + len(tb.tk)
+                             - len(list_intersect(ta.tk, tb.tk)) > 0
+                        THEN len(list_intersect(ta.tk, tb.tk))
+                             / CAST(len(ta.tk) + len(tb.tk)
+                                    - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                        ELSE 0.0 END, 4) AS jaccard
+      FROM est c JOIN d ta ON ta.id = c.id_a JOIN d tb ON tb.id = c.id_b
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.tk, b.tk)) /
-                 CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))
-                      AS DOUBLE), 4) AS jaccard
-    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) > 0
-      AND ROUND(len(list_intersect(a.tk, b.tk)) /
-                CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))
-                     AS DOUBLE), 4) >= 0.6
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
     """,
-    "n-gram/token-set Jaccard near-dup pairs with blocking (training-data gate)",
+    "token-set Jaccard near-dup pairs, blocked on MinHash LSH band buckets "
+    "(capped) with exact Jaccard re-rank — the 100-TB shape; the oracle "
+    "recomputes the identical portable-hash pipeline",
 )
 def dedup_jaccard_q(spark, sf_dir):
-    from .operators.dedup import jaccard_pairs
+    from .operators.dedup import jaccard_pairs_lsh
 
-    return jaccard_pairs(
-        t(spark, sf_dir, "documents"), block_col="source", threshold=0.6
-    )
+    return jaccard_pairs_lsh(t(spark, sf_dir, "documents"), threshold=0.6)
 
 
 @q(
     "dedup_minhash_candidates",
-    None,  # xxhash64-based; not reproducible in DuckDB -> rows-only check
+    _minhash_cte_sql()
+    + """
+    SELECT c.id_a, c.id_b,
+           ROUND(list_sum(list_transform(generate_series(1, 32),
+                 k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                 / 32.0, 4) AS est_jaccard
+    FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+    WHERE ROUND(list_sum(list_transform(generate_series(1, 32),
+                k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                / 32.0, 4) >= 0.5
+    """,
     "MinHash+LSH banded candidate pairs (shingle->minhash->band->bucket-join)",
 )
 def dedup_minhash_q(spark, sf_dir):
@@ -833,13 +922,40 @@ def dedup_minhash_q(spark, sf_dir):
 
 @q(
     "dedup_simhash",
-    None,  # xxhash64-based -> rows-only check
-    "64-bit SimHash signatures over token bags",
+    _simhash_cte_sql() + "SELECT id, simhash FROM sim",
+    "62-bit SimHash signatures over token bags (portable-hash bit votes)",
 )
 def dedup_simhash_q(spark, sf_dir):
-    from .operators.dedup import simhash64
+    from .operators.dedup import simhash_signatures
 
-    return simhash64(t(spark, sf_dir, "documents"))
+    return simhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_simhash_pairs",
+    _simhash_cte_sql()
+    + """
+    , bb AS (SELECT id, [((simhash >> 0) & 65535) * 4 + 0,
+                         ((simhash >> 16) & 65535) * 4 + 1,
+                         ((simhash >> 32) & 65535) * 4 + 2,
+                         ((simhash >> 48) & 16383) * 4 + 3] AS bands FROM sim),
+    e AS (SELECT id, unnest(bands) AS bh FROM bb),
+    kept AS (SELECT bh FROM e GROUP BY bh HAVING COUNT(*) <= 256),
+    ek AS (SELECT e.id, e.bh FROM e JOIN kept USING (bh)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM ek a JOIN ek b ON a.bh = b.bh AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+    "SimHash near-dup pairs: hamming-banded bucket join (4 bands, recall 1.0 "
+    "for hamming<=3 by pigeonhole) + popcount re-rank",
+)
+def dedup_simhash_pairs_q(spark, sf_dir):
+    from .operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @q(

@@ -13,8 +13,10 @@ from chapterbridge_ocr_worker_spark.functions.keys import (
 from chapterbridge_ocr_worker_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_lsh,
     minhash_candidates,
-    simhash64,
+    simhash_neardup_pairs,
+    simhash_signatures,
 )
 from chapterbridge_ocr_worker_spark.operators.multimodal import extract_media_metadata
 from chapterbridge_ocr_worker_spark.operators.similarity import cosine_topk
@@ -100,9 +102,45 @@ def test_simhash_identical_and_different(spark):
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z")],
         ["doc_id", "text"],
     )
-    sigs = {r["id"]: r["simhash"] for r in simhash64(df).collect()}
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_simhash_neardup_pairs_banded(spark):
+    # 1 extra token over a 100-token bag: this particular pair lands at
+    # hamming 3 (deterministic — portable hash), inside the <=3 gate where
+    # the 4-band pigeonhole guarantees the bucket join recalls it
+    base = " ".join(f"w{i:03d}" for i in range(100))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " x0"),
+            (3, " ".join(f"v{i:03d}" for i in range(100))),  # disjoint bag
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(p == (1, 2) for p in pairs)  # the disjoint doc never pairs
+
+
+def test_jaccard_pairs_lsh_rerank(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    text_a = " ".join(words)
+    text_b = " ".join(words[:-1])  # jaccard 9/10 = 0.9
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, "unrelated content entirely other tokens")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_lsh(df, threshold=0.6).collect()
+    }
+    assert pairs == {(1, 2): 0.9}
 
 
 def test_cosine_topk_exact(spark):
