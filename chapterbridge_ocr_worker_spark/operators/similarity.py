@@ -123,25 +123,37 @@ def ann_topk_lsh(
     queries: DataFrame,
     k: int = 10,
     bits: int = 8,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within the query's LSH bucket.
+    """Approximate top-k: exact re-rank within the query's LSH bucket(s).
 
-    Recall is bucket-limited (single probe); production would multi-probe
-    neighboring buckets. The join key is the bucket id — the corpus-side
-    signature computation is one linear scan, and the join shuffles only
-    (id, bucket, vec) pairs.
+    multiprobe=True probes the query's own bucket PLUS every 1-bit-flip
+    neighbor (bits+1 probes): a true neighbor that lands one hyperplane away
+    — the dominant miss mode for random-hyperplane LSH — is still found.
+    Costs bits+1 broadcast rows per query, nothing on the corpus side: the
+    corpus-side signature computation stays one linear scan, and each
+    (query, neighbor) can match at most once (a corpus vector has exactly
+    one bucket, probe buckets are distinct), so no candidate dedup is
+    needed. Measured on sf0.01 embeddings: recall@10 vs the exact top-k
+    roughly doubles over single-probe (tests/test_operators.py).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         lsh_signature(F.col(vec_col), bits).alias("bucket"),
     )
+    sig = lsh_signature(F.col(vec_col), bits)
+    probes = (
+        F.array(sig, *[sig.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)])
+        if multiprobe
+        else F.array(sig)
+    )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+        F.explode(probes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(qs), "bucket")
@@ -166,16 +178,31 @@ def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     bits: int = 10,
+    max_bucket: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH blocking + exact cosine."""
+    """Embedding near-duplicate pairs via LSH blocking + exact cosine.
+
+    Degenerate-bucket cap (same hygiene as dedup.lsh_candidate_pairs): a
+    bucket holding b vectors yields b^2/2 exact-cosine evaluations, so one
+    hot bucket — e.g. a zero/constant-embedding cluster — turns the
+    self-join quadratic. Buckets above max_bucket are dropped; sigs persist
+    because the plan has four consumers (count, semi-join, both join sides).
+    """
     sigs = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    ).persist()
+    keep = (
+        sigs.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("bucket")
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    capped = sigs.join(keep, "bucket", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
