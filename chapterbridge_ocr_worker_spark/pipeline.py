@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .operators.metrics import checkpoint_rows
 from .operators.ocr_udf import ocr_media_spans
+from .operators.output_doc import build_output_documents, serialize_output_documents
 from .operators.reassemble import explode_spans, reassemble, split_media_text
 from .operators.resume import build_lineage, pending_documents, split_failures
 from .operators.skew import repartition_spans
@@ -150,6 +151,17 @@ def write_run(
     tables.append_snapshot(build_lineage(completed), warehouse, "lineage")
     tables.append_snapshot(failures, warehouse, "failures")
     tables.append_snapshot(checkpoint_rows(ok, wall), warehouse, "checkpoint")
+    # per-page reference-shaped JSON output docs (F13) — the upload payload
+    # the reference puts to R2 per job. Restricted to committed docs so the
+    # ocr_json table stays exactly-once under the retry semantics above.
+    ok_committed = ok.join(
+        failures.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    tables.append_snapshot(
+        serialize_output_documents(build_output_documents(ok_committed)),
+        warehouse,
+        "ocr_json",
+    )
     completed.unpersist()
     ocr_cached.unpersist()
     return {"docs": n_docs, "failed_docs": n_failed, "wall_seconds": wall}

@@ -1125,6 +1125,37 @@ def extract_e2e_full_q(spark, sf_dir):
 
 
 @q(
+    "f13_output_docs",
+    None,  # OCR lines are not SQL-expressible -> rows-only check
+    "F13: full reference-shaped nested output document per OCR'd media span "
+    "(version/engine/source/metadata/stats/lines, ocr_engine.py:872-926) "
+    "with the serialized upload payload's byte_size+sha256",
+)
+def f13_output_docs_q(spark, sf_dir):
+    from .operators.output_doc import build_output_documents
+    from .operators.resume import split_failures
+    from .pipeline import run_extraction
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    docs, media = interleaveify_cached(flat, key)
+    res = run_extraction(spark, docs, media)
+    ok, _ = split_failures(res.ocr_all)
+    return build_output_documents(ok).select(
+        "doc_id",
+        "offset",
+        "output_ref",
+        F.col("doc.version").alias("version"),
+        F.col("doc.engine").alias("engine"),
+        F.col("doc.metadata.work_id").alias("work_id"),
+        F.col("doc.metadata.chapter").alias("chapter"),
+        F.col("doc.metadata.page").alias("page"),
+        F.col("doc.stats.line_count").alias("line_count"),
+    )
+
+
+@q(
     "html_strip_tags",
     """
     SELECT doc_id,
