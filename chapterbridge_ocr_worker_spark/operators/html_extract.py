@@ -174,8 +174,10 @@ def extract_main_content(docs: DataFrame, html_col: str = "html", id_col: str = 
 def wrap_in_boilerplate(doc_id: str, body_text: str) -> str:
     nav = '<nav><a href="/">home</a> <a href="/a">sec a</a> <a href="/b">sec b</a></nav>'
     ad = '<div class="ad"><a href="/buy">click here to buy now</a></div>'
+    # quote=False: quotes need no escaping in element content, and it keeps
+    # byte parity with the column-expression twin (wrap_in_boilerplate_col)
     paras = "".join(
-        f"<p>{html_mod.escape(p)}</p>" for p in _split_paras(body_text)
+        f"<p>{html_mod.escape(p, quote=False)}</p>" for p in _split_paras(body_text)
     )
     return (
         f"<html><head><title>Doc {doc_id}</title>"
@@ -195,3 +197,57 @@ def _split_paras(text: str, words_per_para: int = 20) -> list[str]:
         " ".join(words[i : i + words_per_para])
         for i in range(0, len(words), words_per_para)
     ]
+
+
+def wrap_in_boilerplate_col(doc_id: Column, text: Column) -> Column:
+    """Column-expression twin of wrap_in_boilerplate: same bytes, but built
+    JVM-side (no per-row Python) so query paths that synthesize test HTML
+    stay inside codegen AND the downstream extraction result is fully
+    SQL-oracle-able (queries.py html_main_content). Parity with the Python
+    version is pinned by tests/test_html_extract.py."""
+    from ..operators.textstats import tokens  # local import avoids a cycle
+
+    tk = tokens(text)
+
+    def esc(c: Column) -> Column:
+        return F.replace(
+            F.replace(
+                F.replace(c, F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+
+    n_chunks = F.ceil(F.size(tk) / F.lit(20.0)).cast("int")
+    chunks = F.when(
+        F.size(tk) == 0, F.array(F.lit("(empty)" + " placeholder" * 10))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(tk, i * 20 + 1, 20), " "),
+        )
+    )
+    paras = F.aggregate(
+        chunks,
+        F.lit(""),
+        lambda acc, c: F.concat(acc, F.lit("<p>"), esc(c), F.lit("</p>")),
+    )
+    nav = '<nav><a href="/">home</a> <a href="/a">sec a</a> <a href="/b">sec b</a></nav>'
+    ad = '<div class="ad"><a href="/buy">click here to buy now</a></div>'
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id,
+        F.lit(
+            "</title><script>var x=1;</script><style>.a{color:red}</style>"
+            "</head><body><header>site "
+        ),
+        doc_id,
+        F.lit(f"</header>{nav}{ad}<article>"),
+        paras,
+        F.lit(
+            f"</article>{ad}<footer>copyright 2026 example corp "
+            "all rights reserved</footer></body></html>"
+        ),
+    )

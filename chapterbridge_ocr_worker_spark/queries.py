@@ -1179,18 +1179,45 @@ def html_strip_q(spark, sf_dir):
 
 @q(
     "html_main_content",
-    None,  # DOM-heuristic extraction (stdlib html.parser UDF) -> rows-only
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS tk
+      FROM documents WHERE doc_id < 200
+    ), ch AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN ['(empty)' || repeat(' placeholder', 10)]
+                  ELSE list_transform(
+                         generate_series(0, CAST(ceil(len(tk) / 20.0) AS INT) - 1),
+                         i -> array_to_string(tk[i*20+1 : i*20+20], ' '))
+             END AS chunks
+      FROM tk
+    ), kept AS (
+      SELECT doc_id, chunks, list_filter(chunks, c -> len(c) >= 25) AS keep
+      FROM ch
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           'Doc ' || doc_id AS title,
+           len(array_to_string(keep, chr(10))) AS main_chars,
+           len(keep) AS n_kept,
+           2 + len(chunks) - len(keep) AS n_dropped
+    FROM kept
+    """,
     "main-content extraction with DOM heuristics: kill chrome subtrees, "
-    "link-density block scoring (boilerpipe-style), title pull",
+    "link-density block scoring (boilerpipe-style), title pull. Input HTML "
+    "is synthesized with column exprs (no Python UDF); the oracle derives "
+    "the expected extraction analytically: article paragraphs = 20-word "
+    "chunks, kept iff >= 25 chars (ads fail link-density, chrome is killed)",
 )
 def html_main_q(spark, sf_dir):
-    from .operators.html_extract import extract_main_content, wrap_in_boilerplate
+    from .operators.html_extract import extract_main_content, wrap_in_boilerplate_col
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    wrap = F.udf(wrap_in_boilerplate)
     docs = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        wrap(F.col("doc_id").cast("string"), F.col("text")).alias("html"),
+        wrap_in_boilerplate_col(
+            F.col("doc_id").cast("string"), F.col("text")
+        ).alias("html"),
     )
     return extract_main_content(docs).select(
         "doc_id", "title", F.length("main_text").alias("main_chars"), "n_kept", "n_dropped"

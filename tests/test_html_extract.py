@@ -77,3 +77,27 @@ def test_malformed_html_dead_letters(spark):
     assert rows["2"]["main_text"].startswith("fine")
     # None html -> empty result, not a crash
     assert rows["1"]["main_text"] == "" and rows["1"]["error"] is None
+
+
+def test_wrap_column_matches_python_wrapper(spark):
+    from chapterbridge_ocr_worker_spark.operators.html_extract import (
+        wrap_in_boilerplate,
+        wrap_in_boilerplate_col,
+    )
+
+    rows = [
+        ("1", "plain words " * 30),
+        ("2", "short"),
+        ("3", ""),
+        ("4", "with <angle> & amp's and  double  spaces"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["html"]
+        for r in df.select(
+            "doc_id",
+            wrap_in_boilerplate_col(F.col("doc_id"), F.col("text")).alias("html"),
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == wrap_in_boilerplate(doc_id, text), doc_id
