@@ -1156,6 +1156,27 @@ def f13_output_docs_q(spark, sf_dir):
 
 
 @q(
+    "f12_debug_overlay",
+    None,  # annotated image blobs -> rows-only check
+    "F12: debug overlay — bbox polygons + confidence labels rendered onto "
+    "each OCR'd page, as a debug-artifact table (draw_debug_boxes, "
+    "ocr_engine.py:247-293)",
+)
+def f12_debug_overlay_q(spark, sf_dir):
+    from .operators.debug_overlay import render_debug_overlays
+    from .pipeline import run_extraction
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    docs, media = interleaveify_cached(flat, key)
+    res = run_extraction(spark, docs, media)
+    return render_debug_overlays(res.ocr_all, media).select(
+        "doc_id", "offset", "media_ref", "debug_ref", "byte_size", "error"
+    )
+
+
+@q(
     "html_strip_tags",
     """
     SELECT doc_id,

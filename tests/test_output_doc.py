@@ -91,3 +91,39 @@ def test_serialized_payload_asset_record(spark):
         assert r["byte_size"] == len(r["json"])
         assert r["sha256"] == hashlib.sha256(r["json"].encode()).hexdigest()
         assert '"version":"ocr_v1"' in r["json"]
+
+
+def test_debug_overlay_annotations(spark):
+    from chapterbridge_ocr_worker_spark.engine import fakeimg
+    from chapterbridge_ocr_worker_spark.operators.debug_overlay import (
+        render_debug_overlays,
+    )
+
+    docs, media = datagen.generate_corpus(n_docs=10, seed=5, corrupt_fraction=0.1)
+    docs_df = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    media_df = spark.createDataFrame(media, schema=schemas.MEDIA)
+    res = run_extraction(spark, docs_df, media_df)
+    rows = render_debug_overlays(res.ocr_all, media_df).collect()
+    assert rows
+    ok = [r for r in rows if r["error"] is None]
+    assert ok
+    eng = StubEngine()
+    blob = {m["media_ref"]: m["content"] for m in media}
+    checked = 0
+    for r in ok[:10]:
+        lines = run_adaptive(blob[r["media_ref"]], eng)["lines"]
+        img = fakeimg.decode(bytes(r["content"]))
+        orig = fakeimg.decode(blob[r["media_ref"]])
+        assert r["byte_size"] == len(bytes(r["content"]))
+        # annotated = original lines + one label per detection at (x0, y0-25)
+        assert len(img.lines) == len(orig.lines) + len(lines)
+        labels = list(img.lines)[len(orig.lines):]
+        for lab, det in zip(labels, lines):
+            x0, y0 = det["bbox"][0]
+            assert (lab.x, lab.y) == (int(x0), max(0, int(y0) - 25))
+            txt, conf = det["text"], det["confidence"]
+            exp = (f"{txt[:20]}... ({conf:.2f})" if len(txt) > 20
+                   else f"{txt} ({conf:.2f})")
+            assert lab.text == exp
+            checked += 1
+    assert checked > 0
