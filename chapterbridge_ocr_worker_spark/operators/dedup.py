@@ -272,6 +272,33 @@ def jaccard_pairs_lsh(
     )
 
 
+def jaccard_keep(
+    df: DataFrame,
+    threshold: float = 0.6,
+    min_est: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The dedup DECISION: ids to keep — a doc is dropped iff it has a
+    near-dup (jaccard_pairs_lsh semantics) with a smaller id.
+
+    This is what a real pipeline materializes: output is LINEAR in the doc
+    count no matter how dup-heavy the corpus is (the pair set on a template-
+    heavy crawl is inherently quadratic; the keep set never is). Keep-lowest
+    -id is the standard greedy rule — under near-transitivity of near-dup
+    clusters it keeps one representative per cluster without an iterative
+    connected-components pass.
+    """
+    pairs = jaccard_pairs_lsh(df, threshold, min_est, text_col, id_col, max_bucket)
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(dropped, "id", "left_anti")
+        .select("id")
+    )
+
+
 def _token_hash62(tok: Column) -> Column:
     """62-bit portable token hash: two independent 31-bit folds combined.
     Value < 2^62, so every bit 0..61 is usable and int64-safe."""

@@ -900,6 +900,36 @@ def dedup_jaccard_q(spark, sf_dir):
 
 
 @q(
+    "dedup_jaccard_keep",
+    _minhash_cte_sql()
+    + """
+    , est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+      WHERE ROUND(list_sum(list_transform(generate_series(1, 32),
+                  k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                  / 32.0, 4) >= 0.35
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS id
+      FROM est c JOIN d ta ON ta.id = c.id_a JOIN d tb ON tb.id = c.id_b
+      WHERE len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) > 0
+        AND ROUND(len(list_intersect(ta.tk, tb.tk))
+                  / CAST(len(ta.tk) + len(tb.tk)
+                         - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 4) >= 0.6
+    )
+    SELECT id FROM d WHERE id NOT IN (SELECT id FROM dropped)
+    """,
+    "the dedup DECISION: keep-lowest-id per near-dup relation — output is "
+    "linear in doc count even on a quadratically dup-heavy corpus",
+)
+def dedup_jaccard_keep_q(spark, sf_dir):
+    from .operators.dedup import jaccard_keep
+
+    return jaccard_keep(t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@q(
     "dedup_minhash_candidates",
     _minhash_cte_sql()
     + """

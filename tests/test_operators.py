@@ -193,6 +193,24 @@ def test_multimodal_metadata_and_error_routing(spark):
     assert b["error"] is not None  # real decode stubbed -> NotImplementedError routed
 
 
+def test_jaccard_keep_one_per_cluster(spark):
+    from chapterbridge_ocr_worker_spark.operators.dedup import jaccard_keep
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    cluster = " ".join(words)
+    df = spark.createDataFrame(
+        [
+            (1, cluster),
+            (2, " ".join(words[:-1])),     # near-dup of 1 (j=0.9)
+            (3, cluster + " lambda"),      # near-dup of 1 (j=10/11)
+            (4, "entirely different tokens nothing shared with the others"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["id"] for r in jaccard_keep(df, threshold=0.6).collect()}
+    assert kept == {1, 4}  # one representative per cluster + the singleton
+
+
 def test_ann_multiprobe_improves_recall(spark):
     import os
 
