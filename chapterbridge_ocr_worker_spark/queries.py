@@ -1078,6 +1078,50 @@ def stream_hourly(spark, sf_dir):
 
 
 @q(
+    "stream_hourly_append",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v_r
+      FROM events GROUP BY 1, 2
+    ), m AS (SELECT max(ts) AS mx FROM events)
+    SELECT CAST(floor(epoch(wstart)) AS BIGINT) AS ws, event_type, n, sum_v_r
+    FROM b, m WHERE wstart + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+    """,
+    "watermarked APPEND-mode hourly aggregation (the production streaming "
+    "pattern: bounded state, each finalized window emitted exactly once to "
+    "a file sink; idempotent under re-trigger) — finalized = window end <= "
+    "max event time - 2h watermark delay",
+)
+def stream_hourly_append_q(spark, sf_dir):
+    import os
+
+    from .streaming.windowed import hourly_agg_append
+
+    ev_schema = t(spark, sf_dir, "events").schema
+    safe = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/stream_src_{safe}_events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    res = hourly_agg_append(
+        spark,
+        stream_dir,
+        ev_schema,
+        out_dir=f"/tmp/stream_append_out_{safe}",
+        checkpoint_dir=f"/tmp/stream_append_ck_{safe}",
+        delay="2 hours",
+    )
+    return res.select(
+        F.unix_timestamp(F.col("window.start")).alias("ws"),
+        "event_type",
+        "n",
+        "sum_v_r",
+    )
+
+
+@q(
     "multimodal_metadata",
     None,  # mapInPandas decode kernel -> rows-only check
     "multimodal plumbing: binary media column -> typed metadata via Arrow UDF",

@@ -50,7 +50,13 @@ def run_incremental(
         res = run_extraction(
             spark, batch_df, media, lineage=prior, num_partitions=num_partitions
         )
-        tables.append_snapshot(res.output, warehouse, "ocr_output")
+        # same commit rule as write_run: output-exists <=> lineage-row, so
+        # docs with a dead-lettered span are not committed (a rerun of the
+        # doc — e.g. its file rewritten with a fixed blob — retries them)
+        completed = res.output.join(
+            res.failures.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        tables.append_snapshot(completed, warehouse, "ocr_output")
         tables.append_snapshot(res.lineage, warehouse, "lineage")
         tables.append_snapshot(res.failures, warehouse, "failures")
 
