@@ -174,6 +174,98 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe the
+    nprobe nearest cells per query, exact re-rank inside them.
+
+    The second scale path next to LSH (ann_topk_lsh): a query touches
+    ~nprobe/n_centroids of the corpus, and the cell assignment is ONE
+    narrow column per corpus row — no corpus self-join at all.
+
+    Centroids are a deterministic pseudo-random corpus sample: the
+    n_centroids rows minimizing (vec_id * 2654435761) % (2^31-1) — a
+    Knuth multiplicative hash reproducible in plain SQL, which is what
+    makes the whole operator DuckDB-oracle-able (cell assignment, probe
+    ranking and re-rank are recomputed exactly by the twin). No k-means
+    iterations: at 100 TB the standard play is sampled centroids (or a
+    MLlib KMeans fit on a sample) broadcast as a plan literal; collecting
+    n_centroids vectors to the driver is the broadcast-equivalent here.
+
+    Ties everywhere break deterministically: cell assignment takes the
+    FIRST index of the max rounded score; probe order is (score desc,
+    index asc); final rank is (cos desc, neighbor_id asc).
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("h", (F.col("cid") * F.lit(2654435761)) % F.lit(2147483647))
+        .orderBy("h", "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in r["cvec"]])
+            for r in cent_rows
+        ]
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        # rounded to 4dp BEFORE the argmax/probe ordering so engine float
+        # noise can't flip assignments between Spark and the SQL twin
+        return F.transform(cent_arr, lambda c: F.round(cosine(vec, c), 4))
+
+    corp = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("sc", cell_scores(F.col("cvec")))
+        .withColumn("bucket", F.array_position(F.col("sc"), F.array_max("sc")))
+        .drop("sc")
+    )
+    qsc = F.transform(
+        F.sequence(F.lit(1), F.lit(n_centroids)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
+        ),
+    )
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("sc", cell_scores(F.col("qvec")))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(qsc), 1, nprobe), lambda p: p["idx"].cast("long")
+                )
+            ),
+        )
+        .drop("sc")
+    )
+    scored = (
+        corp.join(F.broadcast(qs), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

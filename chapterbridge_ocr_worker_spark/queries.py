@@ -1030,6 +1030,66 @@ def emb_ann_q(spark, sf_dir):
     return ann_topk_lsh(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, bits=6)
 
 
+@q(
+    "emb_ivf_topk",
+    """
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id * 2654435761) % 2147483647 AS h
+      FROM embeddings
+    ),
+    cl AS (
+      SELECT list(v ORDER BY h, vec_id) AS cents
+      FROM (SELECT v, h, vec_id FROM c ORDER BY h, vec_id LIMIT 16)
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             list_transform((SELECT cents FROM cl), cc ->
+               ROUND(list_dot_product(v, cc) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cc, cc))),
+                     4)) AS s
+      FROM c
+    ),
+    corp AS (SELECT vec_id AS neighbor_id, v AS cvec,
+                    list_position(s, list_max(s)) AS bucket FROM sc),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qvec,
+             unnest(list_transform(list_slice(list_sort(
+                 list_transform(generate_series(1, 16),
+                                i -> [-s[i], CAST(i AS DOUBLE)])
+               ), 1, 4), p -> CAST(p[2] AS BIGINT))) AS bucket
+      FROM sc WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT p.query_id, o.neighbor_id,
+             list_dot_product(p.qvec, o.cvec) /
+               (sqrt(list_dot_product(p.qvec, p.qvec))
+                * sqrt(list_dot_product(o.cvec, o.cvec))) AS cos
+      FROM probes p JOIN corp o ON o.bucket = p.bucket
+      WHERE o.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_r, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    "IVF-style ANN: deterministic sampled centroids (portable multiplicative "
+    "hash), cell assignment per corpus row, nprobe=4 nearest cells probed "
+    "per query, exact cosine re-rank — fully recomputed by the SQL twin",
+)
+def emb_ivf_q(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, n_centroids=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming + multimodal + flagship extraction
 # ---------------------------------------------------------------------------

@@ -240,6 +240,39 @@ def test_ann_multiprobe_improves_recall(spark):
     assert r_multi >= 0.25
 
 
+def test_ivf_topk_clustered_corpus(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    # 3 well-separated direction clusters; with enough centroids and
+    # nprobe=2, every query's true neighbors live in probed cells -> IVF
+    # must equal the exact top-k
+    rows = []
+    for c, base in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for i in range(12):
+            eps = 0.01 * (i + 1)
+            v = [base[0] + eps, base[1] + eps * 0.5, base[2]]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append(Row(vec_id=c * 100 + i, embedding=[x / n for x in v]))
+    df = spark.createDataFrame(rows)
+    qs = df.filter(F.col("vec_id").isin(0, 100, 200))
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, qs, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    assert approx == exact
+
+
 def test_cosine_neardup_cap_drops_degenerate_bucket(spark):
     from pyspark.sql import Row
 
