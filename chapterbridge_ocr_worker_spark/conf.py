@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable targets (bucketed tables) land in tmp, never the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -56,6 +56,31 @@ def read_table(
     return reader.parquet(*parquet_dirs)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a catalog table hash-bucketed (and optionally sorted) on its
+    join key. Both sides of an equi-join bucketed on the key with the same
+    bucket count join SHUFFLE-FREE (and sort-free if sortBy'd) — the
+    pipeline's media-blob join is the target: bucket media and the span
+    table by media_ref and the byte-carrying exchange disappears
+    (pinned by tests/test_plans.test_bucketed_join_is_shuffle_free).
+    Iceberg analogue: a `bucket(N, col)` partition transform + SPJ
+    (storage-partitioned joins)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def merge_upsert(
     spark: SparkSession, root: str, name: str, updates: DataFrame, keys: list[str]
 ) -> None:

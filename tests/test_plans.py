@@ -50,3 +50,42 @@ def test_extraction_shuffle_budget(spark):
     # exactly the OCR stage (AQE may echo the node in the initial-plan
     # section, hence <= 2, never the 4x of the uncached-input regression)
     assert 1 <= plan.count("MapInPandas") <= 2
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The media-blob join's shuffle disappears when both sides are
+    bucketed by media_ref with the same bucket count — the pipeline
+    docstring's scale claim, made real and pinned."""
+    from chapterbridge_ocr_worker_spark import datagen, schemas
+    from chapterbridge_ocr_worker_spark.operators.reassemble import (
+        explode_spans,
+        split_media_text,
+    )
+    from chapterbridge_ocr_worker_spark.sources.tables import write_bucketed
+
+    docs, media = datagen.generate_corpus(n_docs=12, seed=21, corrupt_fraction=0.0)
+    ddf = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    mdf = spark.createDataFrame(media, schema=schemas.MEDIA)
+    media_spans, _ = split_media_text(explode_spans(ddf))
+
+    # plain parquet-in-memory sides: the equi-join shuffles both sides
+    plain = media_spans.select("doc_id", "offset", "media_ref").join(
+        mdf.select("media_ref", "content").hint("merge"), "media_ref"
+    )
+    from chapterbridge_ocr_worker_spark.plans import inspect as pi
+
+    assert pi.count_exchanges(plain) >= 2
+
+    write_bucketed(
+        media_spans.select("doc_id", "offset", "media_ref"),
+        "t_spans_bucketed", ["media_ref"], num_buckets=8, sort_cols=["media_ref"],
+    )
+    write_bucketed(
+        mdf.select("media_ref", "content"),
+        "t_media_bucketed", ["media_ref"], num_buckets=8, sort_cols=["media_ref"],
+    )
+    spans_b = spark.table("t_spans_bucketed")
+    media_b = spark.table("t_media_bucketed")
+    joined = spans_b.join(media_b.hint("merge"), "media_ref")
+    assert pi.count_exchanges(joined) == 0  # bucket-aligned: no shuffle
+    assert joined.count() == media_spans.count()
