@@ -36,6 +36,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, RE2-safe subset: contraction suffixes, then
+# space-optional letter runs, digit runs, and other-symbol runs. The real
+# GPT-2 pattern uses lookahead for trailing-space handling, which RE2 (and
+# hence the DuckDB twin) lacks — dropping it changes only whitespace-run
+# token boundaries, not the count profile a quality gate needs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token count: how many pieces the GPT-2 pre-tokenizer
+    stage would hand to BPE. A closer LLM-cost proxy than whitespace words
+    (punctuation, contractions and digit runs count separately)."""
+    return F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def normalized(text: Column) -> Column:
     """lowercase + whitespace-collapsed — the canonical form for
     fingerprinting and shingling."""

@@ -758,6 +758,25 @@ def text_tokens(spark, sf_dir):
 
 
 @q(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    "BPE-ish token counting: GPT-2 pre-tokenizer pieces (RE2-safe subset) — "
+    "the LLM-cost proxy next to the whitespace count",
+)
+def text_tokens_bpe(spark, sf_dir):
+    from .operators.textstats import bpe_ish_token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@q(
     "text_quality",
     f"""
     WITH toks AS (

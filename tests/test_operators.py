@@ -60,6 +60,29 @@ def test_token_count_edges(spark):
     assert out == [3, 0, 0, 1]
 
 
+def test_bpe_ish_token_count(spark):
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        bpe_ish_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop"),        # don | 't | " stop"
+            (2, "abc123!? ok"),       # abc | 123 | !? | " ok"
+            (3, ""),                  # no pieces
+            (4, "один 世界"),          # unicode letters count as runs
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 4, 3: 0, 4: 2}
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "other")],
