@@ -90,3 +90,167 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(
         _meta_batches, schema=MEDIA_META
     )
+
+
+# --- resize / frame-sample / feature-extract -------------------------------
+# The remaining three kernels of the multimodal quartet. Over the FAKEIMG
+# codec they are REAL transformations (coordinate scaling, band slicing,
+# content statistics), not fakes of convenience; jpeg/png route through the
+# same import-gated _decode_real as metadata. Every kernel dead-letters per
+# row via an `error` column — a corrupt blob never kills the task.
+
+RESIZED = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("y_start", T.IntegerType()),
+        T.StructField("y_end", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FEATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_height: int = 2000) -> DataFrame:
+    """Downscale blobs taller than max_height, preserving aspect ratio.
+    FAKEIMG kernel scales dimensions and line geometry (ints, floor); real
+    images would be cv2.resize behind the same gate."""
+    from ..engine.fakeimg import FakeLine, encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RESIZED.fields}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row = dict.fromkeys(out)
+                row["media_ref"] = ref
+                try:
+                    data = bytes(content)
+                    if _sniff(data) != "fakeimg":
+                        _decode_real(data)
+                    img = fake_decode(data)
+                    s = min(1.0, max_height / img.height) if img.height else 1.0
+                    if s >= 1.0:
+                        row.update(
+                            content=data, width=img.width, height=img.height, scale=1.0
+                        )
+                    else:
+                        lines = [
+                            FakeLine(
+                                int(l.x * s), int(l.y * s),
+                                max(1, int(l.w * s)), max(1, int(l.h * s)),
+                                l.contrast, l.text,
+                            )
+                            for l in img.lines
+                        ]
+                        w, h = max(1, int(img.width * s)), max(1, int(img.height * s))
+                        row.update(
+                            content=encode(w, h, lines), width=w, height=h,
+                            scale=round(s, 6),
+                        )
+                except Exception as exc:
+                    row["error"] = str(exc)[:1000]
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "content").mapInPandas(kernel, schema=RESIZED)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Cut each blob into n_frames horizontal bands, one output row per
+    band (the video frame-sampling shape: one binary in, many binaries
+    out). FAKEIMG kernel slices geometry for real; lines are assigned to
+    the band holding their top edge, translated to band-local coords."""
+    from ..engine.fakeimg import FakeLine, encode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FRAMES.fields}
+
+            def emit(ref, idx, y0, y1, content, error):
+                out["media_ref"].append(ref)
+                out["frame_idx"].append(idx)
+                out["y_start"].append(y0)
+                out["y_end"].append(y1)
+                out["content"].append(content)
+                out["error"].append(error)
+
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    data = bytes(content)
+                    if _sniff(data) != "fakeimg":
+                        _decode_real(data)
+                    img = fake_decode(data)
+                    band = max(1, img.height // n_frames)
+                    for i in range(n_frames):
+                        y0 = i * band
+                        y1 = img.height if i == n_frames - 1 else (i + 1) * band
+                        lines = [
+                            FakeLine(l.x, l.y - y0, l.w, l.h, l.contrast, l.text)
+                            for l in img.lines
+                            if y0 <= l.y < y1
+                        ]
+                        emit(ref, i, y0, y1, encode(img.width, y1 - y0, lines), None)
+                except Exception as exc:
+                    emit(ref, -1, None, None, None, str(exc)[:1000])
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "content").mapInPandas(kernel, schema=FRAMES)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic content feature vector per blob — the embedding-side
+    input for the similarity family: [log1p(bytes), width/1e3, height/1e3,
+    n_regions, mean contrast/255, mean text len, text coverage]. A real
+    deployment swaps in a vision encoder behind the same signature."""
+    import math
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in FEATURES.fields}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row = dict.fromkeys(out)
+                row["media_ref"] = ref
+                try:
+                    data = bytes(content)
+                    if _sniff(data) != "fakeimg":
+                        _decode_real(data)
+                    img = fake_decode(data)
+                    n = len(img.lines)
+                    area = float(img.width * img.height) or 1.0
+                    row["features"] = [
+                        round(math.log1p(len(data)), 4),
+                        img.width / 1e3,
+                        img.height / 1e3,
+                        float(n),
+                        round(sum(l.contrast for l in img.lines) / (255.0 * n), 4)
+                        if n else 0.0,
+                        round(sum(len(l.text) for l in img.lines) / n, 4) if n else 0.0,
+                        round(sum(l.w * l.h for l in img.lines) / area, 4),
+                    ]
+                except Exception as exc:
+                    row["error"] = str(exc)[:1000]
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "content").mapInPandas(kernel, schema=FEATURES)

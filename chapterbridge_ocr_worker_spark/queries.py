@@ -1218,6 +1218,60 @@ def multimodal_meta_q(spark, sf_dir):
 
 
 @q(
+    "multimodal_resize",
+    None,  # binary outputs -> rows-only check
+    "multimodal: aspect-preserving downscale of oversize blobs "
+    "(mapInPandas kernel; real geometry transform over the CI codec)",
+)
+def multimodal_resize_q(spark, sf_dir):
+    from .operators.multimodal import resize_media
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    _, media = interleaveify_cached(flat, key)
+    return resize_media(media, max_height=1000).select(
+        "media_ref", "width", "height", "scale", "error"
+    )
+
+
+@q(
+    "multimodal_frames",
+    None,  # binary outputs -> rows-only check
+    "multimodal: frame sampling — one blob in, n band blobs out "
+    "(the video-sampling shape)",
+)
+def multimodal_frames_q(spark, sf_dir):
+    from .operators.multimodal import sample_frames
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    _, media = interleaveify_cached(flat, key)
+    return sample_frames(media, n_frames=4).select(
+        "media_ref", "frame_idx", "y_start", "y_end", "error"
+    )
+
+
+@q(
+    "multimodal_features",
+    None,  # codec decode not SQL-expressible -> rows-only check
+    "multimodal: deterministic content feature vectors (the embedding-side "
+    "input for the similarity family)",
+)
+def multimodal_features_q(spark, sf_dir):
+    from .operators.multimodal import extract_features
+    from .sources.interleave import interleaveify_cached
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    _, media = interleaveify_cached(flat, key)
+    return extract_features(media).select(
+        "media_ref", F.size("features").alias("dim"), "error"
+    )
+
+
+@q(
     "extract_e2e",
     None,  # full OCR pipeline -> rows-only check (golden equality lives in pytest)
     "flagship: interleaved docs -> explode -> vectorized OCR -> ordered "

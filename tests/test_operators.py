@@ -340,3 +340,46 @@ def test_cosine_neardup_pairs_fire_on_near_identical_vectors(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(a == 0 and b == 1 for a, b in pairs)  # orthogonal vecs excluded
+
+
+def test_multimodal_resize_frames_features(spark):
+    from chapterbridge_ocr_worker_spark.engine import fakeimg
+    from chapterbridge_ocr_worker_spark.engine.fakeimg import FakeLine, encode
+    from chapterbridge_ocr_worker_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    tall = encode(800, 4000, [FakeLine(10, y, 200, 30, 200, f"l{y}")
+                              for y in (100, 1500, 3900)])
+    short = encode(640, 500, [FakeLine(5, 10, 100, 30, 180, "hi")])
+    media = spark.createDataFrame(
+        [("m/tall", bytearray(tall)), ("m/short", bytearray(short)),
+         ("m/bad", bytearray(b"\xff\xd8\xffJPEGISH"))],
+        ["media_ref", "content"],
+    )
+
+    rs = {r["media_ref"]: r for r in resize_media(media, max_height=1000).collect()}
+    assert rs["m/tall"]["height"] == 1000 and rs["m/tall"]["scale"] == 0.25
+    scaled = fakeimg.decode(bytes(rs["m/tall"]["content"]))
+    assert [l.y for l in scaled.lines] == [25, 375, 975]  # geometry scaled
+    assert rs["m/short"]["scale"] == 1.0  # under the cap: passthrough
+    assert rs["m/bad"]["error"] is not None  # real decode gated -> dead-letter
+
+    fr = [r for r in sample_frames(media, n_frames=4).collect()
+          if r["media_ref"] == "m/tall"]
+    assert [r["frame_idx"] for r in sorted(fr, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    texts = []
+    for r in fr:
+        img = fakeimg.decode(bytes(r["content"]))
+        assert img.height == r["y_end"] - r["y_start"]
+        for l in img.lines:
+            assert 0 <= l.y < img.height  # band-local coords
+            texts.append(l.text)
+    assert sorted(texts) == ["l100", "l1500", "l3900"]  # no line lost or duped
+
+    ft = {r["media_ref"]: r for r in extract_features(media).collect()}
+    assert len(ft["m/tall"]["features"]) == 7
+    assert ft["m/tall"]["features"][3] == 3.0  # n_regions
+    assert ft["m/bad"]["error"] is not None
