@@ -74,3 +74,59 @@ def test_reading_order_is_total_and_stable(ls):
     assert sorted(
         ordered, key=lambda l: (bbox_bounds(l["bbox"])[1], bbox_bounds(l["bbox"])[0])
     ) == ordered
+
+
+# --- portable-hash determinism: the cross-engine dedup foundation ----------
+# One property pins all three implementations to the same function: the
+# Spark column expression (dedup.portable_token_hash), the DuckDB twin
+# (queries._phash_sql), and this reference fold.
+
+
+def _phash_py(tok: str, mult: int = 31, p: int = 2_147_483_647) -> int:
+    acc = 0
+    for ch in tok:
+        acc = (acc * mult + ord(ch)) % p
+    return acc
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                min_codepoint=1,
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_portable_hash_matches_python_and_duckdb(tokens):
+    import duckdb
+
+    from chapterbridge_ocr_worker_spark.queries import _phash_sql
+
+    expected = [_phash_py(t) for t in tokens]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {_phash_sql('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in tokens
+    ]
+    assert got_duck == expected
+
+
+def test_portable_hash_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import portable_token_hash
+
+    toks = ["hello", "héllo", "世界", "mixed 空白", "a'b\"c", "x" * 24, "0"]
+    df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    got = [
+        r["h"] for r in df.select(portable_token_hash(F.col("t")).alias("h")).collect()
+    ]
+    assert got == [_phash_py(t) for t in toks]
