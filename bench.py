@@ -34,13 +34,16 @@ BENCH_QUERIES = [
     "dedup_minhash_candidates",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_jaccard_keep",
     "emb_cosine_neardup",
+    "emb_ivf_topk",
     "f13_output_docs",
     "emb_cosine_topk",
     "emb_ann_lsh",
     "text_quality",
     "text_lang_id",
     "stream_hourly_agg",
+    "stream_hourly_append",
     "asof_last_view_before_purchase",
     "rollup_revenue",
     "html_strip_tags",

@@ -71,6 +71,17 @@ def write_bucketed(
     (pinned by tests/test_plans.test_bucketed_join_is_shuffle_free).
     Iceberg analogue: a `bucket(N, col)` partition transform + SPJ
     (storage-partitioned joins)."""
+    import shutil
+
+    spark = df.sparkSession
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse directory persists; a leftover location makes saveAsTable
+    # fail with LOCATION_ALREADY_EXISTS — drop both
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    loc = os.path.join(wh, name.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = (
         df.write.mode("overwrite")
         .format("parquet")
