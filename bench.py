@@ -66,6 +66,13 @@ def main() -> None:
         qd = QUERIES[name]
         runs = []
         for _ in range(2):
+            # isolate queries from each other: several operators persist
+            # their signature tables internally and never unpersist (the
+            # caller owns lifetime); letting those accumulate across the
+            # sweep thrashes executor storage and bled 70s+ into unrelated
+            # queries. Clearing also makes "warm" = honest re-execution,
+            # not a cache readback.
+            spark.catalog.clearCache()
             t0 = time.time()
             n = qd.fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
