@@ -1218,6 +1218,47 @@ def multimodal_meta_q(spark, sf_dir):
 
 
 @q(
+    "stream_stateful_totals",
+    """
+    SELECT event_type, COUNT(*) AS total_events,
+           ROUND(SUM(value), 2) AS total_value_r
+    FROM events GROUP BY event_type
+    """,
+    "custom stateful streaming operator (applyInPandasWithState): running "
+    "per-key totals with user-managed state, update mode — over a static "
+    "single-file source the final emitted row per key equals the batch "
+    "totals, so even this is hash-oracled",
+)
+def stream_stateful_q(spark, sf_dir):
+    import os
+
+    from .streaming.stateful import running_totals_per_type
+
+    ev_schema = t(spark, sf_dir, "events").schema
+    safe = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/stream_src_{safe}_events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(ev_schema).parquet(stream_dir)
+    totals = running_totals_per_type(stream)
+    name = "stateful_totals_" + safe.replace(".", "_")
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"SELECT event_type, total_events, "
+        f"ROUND(total_value, 2) AS total_value_r FROM {name}"
+    )
+
+
+@q(
     "multimodal_resize",
     None,  # binary outputs -> rows-only check
     "multimodal: aspect-preserving downscale of oversize blobs "
