@@ -111,14 +111,20 @@ def write_run(
     media: DataFrame,
     warehouse: str,
     num_partitions: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Materialize one (resumable) run into the warehouse directory.
 
     Reads existing lineage for the anti-join; appends output/lineage/
     failures as immutable snapshots; writes per-partition checkpoint rows.
     Returns run stats.
+
+    force=True skips the lineage anti-join and reprocesses everything —
+    the reference's `--force` reprocess flag (enqueue.py / main.py:107:
+    "if not force: skip when output exists"). Output/lineage append new
+    snapshots; downstream readers of duplicated doc_ids take the latest.
     """
-    prior = tables.read_table(spark, warehouse, "lineage")
+    prior = None if force else tables.read_table(spark, warehouse, "lineage")
     res = run_extraction(
         spark, documents, media, lineage=prior, num_partitions=num_partitions
     )

@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", required=True, help="output warehouse dir")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument(
+        "--force",
+        action="store_true",
+        help="reprocess documents even if lineage says they're done "
+        "(the reference's --force flag)",
+    )
+    ap.add_argument(
         "--incremental",
         action="store_true",
         help="Structured-Streaming availableNow mode over the documents dir",
@@ -77,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.schema(schemas.DOCUMENTS).parquet(args.documents)
         stats = {"mode": "batch", **write_run(
-            spark, docs, media, args.warehouse, num_partitions=args.num_partitions
+            spark, docs, media, args.warehouse,
+            num_partitions=args.num_partitions, force=args.force,
         )}
 
     print(json.dumps(stats))

@@ -154,3 +154,16 @@ def test_lineage_schema_and_output_keys(spark, dfs):
         assert r["output_ref"].startswith("derived/manhwa/")
         assert len(r["sha256"]) == 64
         assert r["byte_size"] > 0
+
+
+def test_force_reprocesses_done_docs(spark, tmp_path):
+    from chapterbridge_ocr_worker_spark import datagen
+
+    docs, media = datagen.generate_corpus(n_docs=6, seed=13, corrupt_fraction=0.0)
+    ddf = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    mdf = spark.createDataFrame(media, schema=schemas.MEDIA)
+    wh = str(tmp_path / "wh_force")
+    assert write_run(spark, ddf, mdf, wh)["docs"] == 6
+    assert write_run(spark, ddf, mdf, wh)["docs"] == 0  # resume skips
+    # --force semantics: reprocess despite lineage (reference enqueue --force)
+    assert write_run(spark, ddf, mdf, wh, force=True)["docs"] == 6

@@ -89,3 +89,22 @@ def test_bucketed_join_is_shuffle_free(spark):
     joined = spans_b.join(media_b.hint("merge"), "media_ref")
     assert pi.count_exchanges(joined) == 0  # bucket-aligned: no shuffle
     assert joined.count() == media_spans.count()
+
+
+def test_dedup_lsh_plan_hygiene(spark):
+    """The LSH dedup family: signature table cached (InMemoryRelation), no
+    cartesian product anywhere, and the candidate explode carries only the
+    narrow (id, bucket) projection."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        jaccard_pairs_lsh,
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared {i%3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    for op in (jaccard_pairs_lsh, simhash_neardup_pairs):
+        plan = pi.formatted(op(df))
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
