@@ -621,6 +621,111 @@ def q18_big(spark, sf_dir):
 
 
 @q(
+    "q4_exists_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS + date-range scan -> semi join",
+)
+def q4_exists(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "notin_null_aware",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+      AND p_size > 45
+    """,
+    "NOT IN subquery -> Spark's null-aware anti join (a distinct physical "
+    "operator from plain LEFT ANTI; correctness trap when the subquery can "
+    "produce nulls)",
+)
+def notin_q(spark, sf_dir):
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand FROM v_part
+        WHERE p_partkey NOT IN
+              (SELECT l_partkey FROM v_lineitem WHERE l_quantity >= 45)
+          AND p_size > 45
+        """
+    )
+
+
+@q(
+    "q2_min_price_per_type",
+    """
+    SELECT p.p_partkey, p.p_type, ROUND(p.p_retailprice, 2) AS price_r
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+    "TPC-H Q2 shape: correlated scalar subquery (min per group), "
+    "decorrelated by Catalyst into aggregate + join",
+)
+def q2_minprice(spark, sf_dir):
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_type, ROUND(p.p_retailprice, 2) AS price_r
+        FROM v_part p
+        WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM v_part p2
+                                 WHERE p2.p_type = p.p_type)
+        """
+    )
+
+
+@q(
+    "w_range_30d_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d
+    FROM orders WHERE o_custkey < 200
+    """,
+    "RANGE interval window frame: per-customer trailing-30-day revenue — "
+    "value-based frames are tie-stable (unlike ROWS), so the result is "
+    "deterministic under equal order dates",
+)
+def w_range_q(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS rev_30d
+        FROM v_orders WHERE o_custkey < 200
+        """
+    )
+
+
+@q(
     "w5_sessionize",
     """
     SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
