@@ -492,6 +492,32 @@ def a4_hist(spark, sf_dir):
 
 
 @q(
+    "a_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact grouped percentiles (linear-interpolation continuous quantile — "
+    "Spark percentile == DuckDB quantile_cont). The exact form is the "
+    "oracle-able twin of the approx_percentile sketch a 100 TB run would "
+    "use; same plan shape either way",
+)
+def a_percentiles_q(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
