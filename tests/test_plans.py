@@ -108,3 +108,15 @@ def test_dedup_lsh_plan_hygiene(spark):
         plan = pi.formatted(op(df))
         assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_ivf_plan_broadcasts_probes(spark):
+    """IVF ANN: cell assignment is a per-row projection (no corpus
+    self-join), probes broadcast to the corpus side."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivf_topk(emb, emb.filter("vec_id % 100 = 0"), k=5, n_centroids=8, nprobe=2)
+    plan = pi.formatted(df)
+    assert pi.count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in plan
