@@ -1245,6 +1245,18 @@ def emb_ivf_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+
+def _cache_key(sf_dir: str, suffix: str) -> str:
+    """Interleave-cache key tied to the SOURCE file identity: a cache built
+    from a previous generation of the testdata must not be served for the
+    current one (the driver may regenerate parquet between rounds)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    return f"{safe}_{int(st.st_mtime)}_{st.st_size}{suffix}"
+
+
 @q(
     "stream_hourly_agg",
     """
@@ -1315,12 +1327,17 @@ def stream_hourly_append_q(spark, sf_dir):
     link = f"{stream_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    # sink + checkpoint dirs keyed by source identity: a leftover checkpoint
+    # from a PREVIOUS generation of the testdata would otherwise replay as
+    # "already seen" and serve stale finalized windows
+    st = os.stat(f"{sf_dir}/events.parquet")
+    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
     res = hourly_agg_append(
         spark,
         stream_dir,
         ev_schema,
-        out_dir=f"/tmp/stream_append_out_{safe}",
-        checkpoint_dir=f"/tmp/stream_append_ck_{safe}",
+        out_dir=f"/tmp/stream_append_out_{key}",
+        checkpoint_dir=f"/tmp/stream_append_ck_{key}",
         delay="2 hours",
     )
     return res.select(
@@ -1341,7 +1358,7 @@ def multimodal_meta_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     _, media = interleaveify_cached(flat, key)
     return extract_media_metadata(media).select(
         "media_ref", "byte_size", "format", "width", "height", "n_regions"
@@ -1400,7 +1417,7 @@ def multimodal_resize_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     _, media = interleaveify_cached(flat, key)
     return resize_media(media, max_height=1000).select(
         "media_ref", "width", "height", "scale", "error"
@@ -1418,7 +1435,7 @@ def multimodal_frames_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     _, media = interleaveify_cached(flat, key)
     return sample_frames(media, n_frames=4).select(
         "media_ref", "frame_idx", "y_start", "y_end", "error"
@@ -1436,7 +1453,7 @@ def multimodal_features_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     _, media = interleaveify_cached(flat, key)
     return extract_features(media).select(
         "media_ref", F.size("features").alias("dim"), "error"
@@ -1454,7 +1471,7 @@ def extract_e2e_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     docs, media = interleaveify_cached(flat, key)
     res = run_extraction(spark, docs, media)
     return res.output.select(
@@ -1486,7 +1503,7 @@ def extract_e2e_full_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents")
-    key = sf_dir.strip("/").replace("/", "_") + "_full"
+    key = _cache_key(sf_dir, "_full")
     docs, media = interleaveify_cached(flat, key)
     res = run_extraction(spark, docs, media)
     return res.output.select(
@@ -1517,7 +1534,7 @@ def f13_output_docs_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     docs, media = interleaveify_cached(flat, key)
     res = run_extraction(spark, docs, media)
     ok, _ = split_failures(res.ocr_all)
@@ -1547,7 +1564,7 @@ def f12_debug_overlay_q(spark, sf_dir):
     from .sources.interleave import interleaveify_cached
 
     flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    key = sf_dir.strip("/").replace("/", "_") + "_lt100"
+    key = _cache_key(sf_dir, "_lt100")
     docs, media = interleaveify_cached(flat, key)
     res = run_extraction(spark, docs, media)
     return render_debug_overlays(res.ocr_all, media).select(
