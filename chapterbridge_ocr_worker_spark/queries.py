@@ -1349,6 +1349,63 @@ def stream_hourly_append_q(spark, sf_dir):
 
 
 @q(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), agg AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(floor(epoch(s)) AS BIGINT) AS sess_start,
+           CAST(floor(epoch(e)) AS BIGINT) AS sess_end, n
+    FROM agg, (SELECT max(ts) AS mx FROM events) WHERE e <= mx
+    """,
+    "streaming sessionization: session_window (30-min gap merge) + "
+    "watermark + append — sessions emit exactly once when finalized; the "
+    "twin recomputes gap-merged sessions relationally and keeps those whose "
+    "end cleared the final watermark",
+)
+def stream_sessions_q(spark, sf_dir):
+    import os
+
+    from .streaming.windowed import session_counts_append
+
+    ev_schema = t(spark, sf_dir, "events").schema
+    safe = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/stream_src_{safe}_events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
+    res = session_counts_append(
+        spark,
+        stream_dir,
+        ev_schema,
+        out_dir=f"/tmp/stream_sess_out_{key}",
+        checkpoint_dir=f"/tmp/stream_sess_ck_{key}",
+    )
+    return res.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("sess_end"),
+        "n",
+    )
+
+
+@q(
     "multimodal_metadata",
     None,  # mapInPandas decode kernel -> rows-only check
     "multimodal plumbing: binary media column -> typed metadata via Arrow UDF",

@@ -30,6 +30,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def session_counts_append(
+    spark: SparkSession,
+    events_dir: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (gap-merged event-
+    time sessions) with watermark + append mode: a session finalizes — and
+    emits exactly once — when the watermark passes its end (last event +
+    gap). The stateful-session analogue of hourly_agg_append; state is
+    bounded to open sessions."""
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(out_dir)
+
+
 def hourly_agg_append(
     spark: SparkSession,
     events_dir: str,
