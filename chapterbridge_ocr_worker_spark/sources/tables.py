@@ -56,6 +56,51 @@ def read_table(
     return reader.parquet(*parquet_dirs)
 
 
+def compact_table(
+    spark: SparkSession, root: str, name: str, target_files: int | None = None
+) -> dict:
+    """Rewrite all of a table's snapshots into one compacted snapshot —
+    the Iceberg `rewrite_data_files` analogue. Every append_snapshot adds a
+    directory with shuffle-partition-count files, so a long-running
+    incremental pipeline accumulates thousands of small files and every
+    read pays the listing + open cost; compaction restores big-file scans.
+    Rows are unchanged (union semantics preserved). Single-writer
+    assumption, same as merge_upsert: run it when no appender is active.
+    """
+    import shutil
+
+    path = table_path(root, name)
+    if not os.path.isdir(path):
+        return {"files_before": 0, "files_after": 0, "snapshots_before": 0}
+    old_snaps = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d))
+    ]
+
+    def n_files(dirs):
+        return sum(
+            1
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_files(old_snaps) if old_snaps else 0
+    df = read_table(spark, root, name)
+    target = target_files or max(1, spark.sparkContext.defaultParallelism)
+    # the write job streams from the old snapshot files; only after it
+    # commits are the old directories dropped
+    new_snap = append_snapshot(df.repartition(target), root, name)
+    for d in old_snaps:
+        shutil.rmtree(d)
+    return {
+        "files_before": files_before,
+        "files_after": n_files([new_snap]),
+        "snapshots_before": len(old_snaps),
+    }
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

@@ -71,3 +71,29 @@ def test_stateful_running_totals(spark, tmp_path):
     ev2.coalesce(1).write.mode("append").parquet(src)
     out2 = run_once("stateful_out2")
     assert out2["click"] == (3, 13.0)  # running total, not per-batch
+
+
+def test_compact_table_preserves_rows(spark, tmp_path):
+    from chapterbridge_ocr_worker_spark import datagen, schemas
+    from chapterbridge_ocr_worker_spark.pipeline import write_run
+
+    docs, media = datagen.generate_corpus(n_docs=12, seed=41, corrupt_fraction=0.0)
+    mdf = spark.createDataFrame(media, schema=schemas.MEDIA)
+    wh = str(tmp_path / "wh_compact")
+    # two runs -> two snapshot dirs per table, many small files
+    write_run(spark, spark.createDataFrame(docs[:6], schema=schemas.DOCUMENTS), mdf, wh)
+    write_run(spark, spark.createDataFrame(docs, schema=schemas.DOCUMENTS), mdf, wh)
+    before = tables.read_table(spark, wh, "ocr_output")
+    rows_before = {r["doc_id"] for r in before.select("doc_id").collect()}
+
+    stats = tables.compact_table(spark, wh, "ocr_output", target_files=2)
+    assert stats["snapshots_before"] == 2
+    assert stats["files_after"] <= 2 < stats["files_before"]
+
+    after = tables.read_table(spark, wh, "ocr_output")
+    assert {r["doc_id"] for r in after.select("doc_id").collect()} == rows_before
+    assert after.count() == 12
+    # resume still works against the compacted lineage
+    tables.compact_table(spark, wh, "lineage", target_files=1)
+    s = write_run(spark, spark.createDataFrame(docs, schema=schemas.DOCUMENTS), mdf, wh)
+    assert s["docs"] == 0
