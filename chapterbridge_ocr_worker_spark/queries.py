@@ -1518,6 +1518,34 @@ def multimodal_features_q(spark, sf_dir):
 
 
 @q(
+    "stream_incremental_extract",
+    None,  # full OCR pipeline via Structured Streaming -> rows-only check
+    "§2.9 fidelity mode: the flagship extraction run INCREMENTALLY — "
+    "Structured Streaming availableNow over a documents directory, "
+    "foreachBatch reusing the batch DAG, Spark checkpoint tracking seen "
+    "files (the micro-poll daemon analogue); idempotent on re-trigger",
+)
+def stream_incremental_q(spark, sf_dir):
+    import os
+
+    from .pipeline import run_extraction  # noqa: F401 (same DAG reused)
+    from .sources import tables
+    from .sources.interleave import interleaveify_cached
+    from .streaming.incremental import run_incremental
+
+    flat = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = _cache_key(sf_dir, "_lt100")
+    docs, media = interleaveify_cached(flat, key)
+    base = f"/tmp/incr_{_cache_key(sf_dir, '')}"
+    docs_dir, wh, ck = f"{base}/docs", f"{base}/wh", f"{base}/ck"
+    if not os.path.isdir(docs_dir):
+        docs.write.parquet(docs_dir)
+    run_incremental(spark, docs_dir, media, wh, ck)
+    out = tables.read_table(spark, wh, "ocr_output")
+    return out.select("doc_id", F.size("spans").alias("n_spans"))
+
+
+@q(
     "extract_e2e",
     None,  # full OCR pipeline -> rows-only check (golden equality lives in pytest)
     "flagship: interleaved docs -> explode -> vectorized OCR -> ordered "
