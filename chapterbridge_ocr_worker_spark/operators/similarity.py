@@ -83,10 +83,22 @@ def cosine_topk(
 
 
 def _plane_weight(bit: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1): derived
-    from xxhash64(bit, dim) so driver, executors and reruns all agree
-    without shipping a plane matrix."""
-    h = F.xxhash64(F.lit(_PLANE_SEED), F.lit(bit), dim_idx)
+    """Deterministic pseudo-random hyperplane weight in [-1, 1) so driver,
+    executors and reruns all agree without shipping a plane matrix.
+
+    PORTABLE by design (same rationale as dedup.portable_token_hash): a
+    Knuth-style multiplicative mix of (dim+1) with a per-bit odd stride,
+    plain int64 arithmetic reproducible in any SQL engine — the DuckDB twins
+    in queries.py recompute the identical signature, which is what lets the
+    whole ANN / embedding-near-dup family be value-hash-oracled (xxhash64,
+    used previously, is not SQL-reproducible). Successive dims jump by
+    ~0.24 of the 2^31 range before the second mod, so weights are
+    well-spread despite the linear form."""
+    h = F.pmod(
+        (dim_idx.cast("long") + 1) * F.lit(2654435761 + bit * 40503)
+        + F.lit(_PLANE_SEED),
+        F.lit(2_147_483_647),
+    )
     return (F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)) - F.lit(1.0)
 
 
