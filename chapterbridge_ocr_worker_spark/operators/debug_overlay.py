@@ -67,13 +67,32 @@ def _overlay_fake(content: bytes, lines: list) -> bytes:
     return fakeimg.encode(img.width, img.height, list(img.lines) + annotations)
 
 
-def _overlay_real(content: bytes, lines: list) -> bytes:  # pragma: no cover
-    """Real-image path (requires PIL, absent in this container)."""
+def _overlay_real(content: bytes, lines: list) -> bytes:
+    """Real-image path: PIL ImageDraw, exactly the reference's kernel
+    (ocr_engine.py:247-293) — a polygon per detection bbox plus the label
+    at (x0, y0-25). Import-gated: PIL is absent in this container, where a
+    non-FAKEIMG blob dead-letters with this NotImplementedError instead of
+    killing the task (tests/test_real_kernels.py covers both gate sides)."""
     try:
-        from PIL import Image, ImageDraw  # noqa: F401
+        from PIL import Image, ImageDraw
     except ImportError as exc:
         raise NotImplementedError("PIL not available for real-image overlays") from exc
-    raise NotImplementedError("real-image overlay kernel is deploy-gated")
+    import io  # pragma: no cover - below runs only where PIL exists
+
+    img = Image.open(io.BytesIO(bytes(content))).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    for ln in lines:
+        pts = [(float(p[0]), float(p[1])) for p in ln["bbox"]]
+        draw.polygon(pts, outline=(255, 0, 0))
+        x0, y0 = pts[0]
+        draw.text(
+            (x0, max(0.0, y0 - 25)),
+            _label(ln["text"], float(ln["confidence"])),
+            fill=(255, 0, 0),
+        )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _overlay_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import persist_tracked
 from .textstats import normalized, tokens
 
 # MinHash parameters: k permutations split into bands of r rows.
@@ -205,6 +206,12 @@ def _est_pairs(sigs: DataFrame, min_est: float, max_bucket: int) -> DataFrame:
     each one re-runs the whole signature computation — measured 120 s+ vs
     ~5 s for the join itself at sf0.1. Same pattern as Spark ML's
     MinHashLSH; at extreme scale write the signature table out instead.
+
+    Cache LIFETIME is caller-owned (operators return lazy plans and have no
+    action of their own to unpersist after): long-lived drivers call
+    operators.cache.release_caches() between units of work, or pass
+    storage_level="DISK_ONLY" through the public operators to keep the
+    barrier off the executor heap.
     """
     pairs = lsh_candidate_pairs(sigs, max_bucket)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -234,12 +241,17 @@ def minhash_candidates(
     id_col: str = "doc_id",
     min_est: float = 0.5,
     max_bucket: int = 256,
+    storage_level: str | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs with minhash-estimated Jaccard >= min_est."""
-    sigs = (
+    """Candidate near-dup pairs with minhash-estimated Jaccard >= min_est.
+
+    Persists the signature table internally (see _est_pairs); the CALLER
+    owns the cache lifetime — call cache.release_caches() when done, or
+    pass storage_level="DISK_ONLY" to keep it off the executor heap."""
+    sigs = persist_tracked(
         minhash_signatures(df, text_col, id_col)
-        .select("id", "sig", "bands")  # toks not needed: keep the cache narrow
-        .persist()
+        .select("id", "sig", "bands"),  # toks not needed: keep the cache narrow
+        storage_level,
     )
     return _est_pairs(sigs, min_est, max_bucket)
 
@@ -251,6 +263,7 @@ def jaccard_pairs_lsh(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard >= threshold over MinHash-LSH band candidates.
 
@@ -266,7 +279,7 @@ def jaccard_pairs_lsh(
     the DuckDB twin recomputes the identical portable-hash pipeline, so the
     output is engine-exact, not merely approximately equal.
     """
-    sigs = minhash_signatures(df, text_col, id_col).persist()
+    sigs = persist_tracked(minhash_signatures(df, text_col, id_col), storage_level)
     pairs = _est_pairs(sigs, min_est, max_bucket).select("id_a", "id_b")
     ta = sigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     tb = sigs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -288,6 +301,7 @@ def jaccard_keep(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """The dedup DECISION: ids to keep — a doc is dropped iff it has a
     near-dup (jaccard_pairs_lsh semantics) with a smaller id.
@@ -299,7 +313,9 @@ def jaccard_keep(
     clusters it keeps one representative per cluster without an iterative
     connected-components pass.
     """
-    pairs = jaccard_pairs_lsh(df, threshold, min_est, text_col, id_col, max_bucket)
+    pairs = jaccard_pairs_lsh(
+        df, threshold, min_est, text_col, id_col, max_bucket, storage_level
+    )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return (
         df.select(F.col(id_col).alias("id"))
@@ -361,6 +377,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: hamming-banded bucket join + popcount
     re-rank.
@@ -371,7 +388,7 @@ def simhash_neardup_pairs(
     Re-rank = bit_count(xor) <= max_hamming, JVM-side. Same degenerate-
     bucket cap as MinHash (identical docs all share all 4 bands).
     """
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = persist_tracked(simhash_signatures(df, text_col, id_col), storage_level)
     band_cols = []
     for idx, (shift, width) in enumerate(SIM_BAND_EDGES):
         mask = F.lit((1 << width) - 1).cast("long")

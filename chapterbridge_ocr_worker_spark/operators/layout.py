@@ -44,15 +44,42 @@ LAYOUT_BLOCK = T.StructType(
 )
 
 
+def _decode_real_pdf(data: bytes) -> list[list[fakepdf.PdfBlock]]:
+    """pypdf extraction kernel behind the import gate (pypdf is absent in
+    this container; tests/test_real_kernels.py covers both gate sides).
+
+    pypdf exposes page text but no glyph geometry, so blocks are emitted in
+    extraction order with synthetic reading-order bboxes (x=0, y=line
+    index) and kind='paragraph' — already enough for main_text_from_blocks.
+    Swap in pdfminer's LTPage boxes for true layout; the FAKEPDF1 codec
+    (the CI path) carries real geometry."""
+    if not _HAVE_PYPDF:
+        raise NotImplementedError(
+            "real PDF parse needs pypdf/pdfminer (not in this container)"
+        )
+    import io  # pragma: no cover - below runs only where pypdf exists
+
+    from pypdf import PdfReader
+
+    reader = PdfReader(io.BytesIO(data))
+    pages = []
+    for page in reader.pages:
+        text = page.extract_text() or ""
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        pages.append(
+            [
+                fakepdf.PdfBlock("paragraph", 0, i, max(len(ln), 1), 1, ln)
+                for i, ln in enumerate(lines)
+            ]
+        )
+    return pages
+
+
 def _decode(data: bytes):
     if data[:8] == fakepdf.MAGIC:
         return fakepdf.decode(data)
     if data[:5] == b"%PDF-":
-        if not _HAVE_PYPDF:
-            raise NotImplementedError(
-                "real PDF parse needs pypdf/pdfminer (not in this container)"
-            )
-        raise NotImplementedError("real PDF layout kernel: wire pypdf here")
+        return _decode_real_pdf(data)
     raise ValueError("unsupported document format (not FAKEPDF1/%PDF)")
 
 

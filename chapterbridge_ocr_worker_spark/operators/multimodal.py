@@ -2,11 +2,14 @@
 
 Images/audio/video ride through Spark as BinaryType columns with struct
 metadata; the decode/feature steps run in Arrow-batched ``mapInPandas``.
-The container has no image/audio libraries, so the decode kernels are
-STUBBED — real cv2/librosa calls raise NotImplementedError behind an
-import-try (and the FAKEIMG codec stands in for CI) — but the Spark-side
-surface (schemas, batch iterators, partitioning, signatures) is real and
-tested; a deployment only swaps the kernel body.
+Each kernel has TWO decode paths behind one signature: the FAKEIMG codec
+(CI path — real geometry transforms, fully value-oracled in queries.py)
+and a real cv2 path (imdecode/resize/band-slice/pixel stats) behind an
+import gate, since this container ships no image libraries — where cv2 is
+absent a jpeg/png row dead-letters with NotImplementedError instead of
+killing the task (tests/test_real_kernels.py covers both sides of the
+gate). The Spark-side surface (schemas, batch iterators, partitioning,
+signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -49,12 +52,32 @@ def _sniff(data: bytes) -> str:
     return "unknown"
 
 
-def _decode_real(data: bytes):  # pragma: no cover - needs cv2
-    if not _HAVE_CV2:
+def _decode_real(data: bytes):
+    """cv2.imdecode kernel — the real-image twin of fake_decode, mirroring
+    engine/paddle.py:64-69: bytes -> (BGR ndarray, width, height, channels).
+    Import-gated (cv2 absent in this container; tests/test_real_kernels.py
+    exercises it where present). Raises ValueError on undecodable bytes so
+    callers dead-letter the row, never the task."""
+    if not _HAVE_CV2:  # pragma: no cover - exercised where cv2 exists
         raise NotImplementedError(
             "real image decode needs cv2 (not in this container)"
         )
-    raise NotImplementedError("real decode kernel: wire cv2.imdecode here")
+    import numpy as np  # pragma: no cover - below runs only with cv2
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("cv2.imdecode failed (corrupt or unsupported image)")
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    return img, w, h, ch
+
+
+def _encode_real(img) -> bytes:  # pragma: no cover - needs cv2
+    ok, buf = cv2.imencode(".png", img)
+    if not ok:
+        raise ValueError("cv2.imencode failed")
+    return buf.tobytes()
 
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,7 +97,10 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         width=img.width, height=img.height, n_regions=len(img.lines)
                     )
                 elif fmt in ("jpeg", "png"):
-                    _decode_real(data)
+                    _, w, h, ch = _decode_real(data)
+                    # n_regions carries channels for real rasters (the
+                    # struct comment documents the per-format meaning)
+                    row.update(width=w, height=h, n_regions=ch)
                 else:
                     raise ValueError(f"unsupported media format: {fmt}")
             except Exception as exc:
@@ -145,7 +171,24 @@ def resize_media(media: DataFrame, max_height: int = 2000) -> DataFrame:
                 try:
                     data = bytes(content)
                     if _sniff(data) != "fakeimg":
-                        _decode_real(data)
+                        # real raster: cv2.resize behind the import gate
+                        rimg, w0, h0, _ = _decode_real(data)
+                        s = min(1.0, max_height / h0) if h0 else 1.0
+                        if s >= 1.0:
+                            row.update(content=data, width=w0, height=h0, scale=1.0)
+                        else:  # pragma: no cover - needs cv2
+                            w = max(1, int(w0 * s))
+                            h = max(1, int(h0 * s))
+                            small = cv2.resize(
+                                rimg, (w, h), interpolation=cv2.INTER_AREA
+                            )
+                            row.update(
+                                content=_encode_real(small), width=w, height=h,
+                                scale=round(s, 6),
+                            )
+                        for k, v in row.items():
+                            out[k].append(v)
+                        continue
                     img = fake_decode(data)
                     s = min(1.0, max_height / img.height) if img.height else 1.0
                     if s >= 1.0:
@@ -198,7 +241,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 try:
                     data = bytes(content)
                     if _sniff(data) != "fakeimg":
-                        _decode_real(data)
+                        # real raster: band-slice the pixel array (cv2 gate)
+                        rimg, _, h0, _ = _decode_real(data)
+                        band = max(1, h0 // n_frames)  # pragma: no cover
+                        for i in range(n_frames):  # pragma: no cover
+                            y0 = i * band
+                            y1 = h0 if i == n_frames - 1 else (i + 1) * band
+                            emit(ref, i, y0, y1, _encode_real(rimg[y0:y1]), None)
+                        continue
                     img = fake_decode(data)
                     band = max(1, img.height // n_frames)
                     for i in range(n_frames):
@@ -233,7 +283,29 @@ def extract_features(media: DataFrame) -> DataFrame:
                 try:
                     data = bytes(content)
                     if _sniff(data) != "fakeimg":
-                        _decode_real(data)
+                        # real raster: same 7-dim contract, pixel-statistic
+                        # slots (channels / mean / std / edge energy) where
+                        # the FAKEIMG path reports line-geometry stats
+                        rimg, w0, h0, ch = _decode_real(data)
+                        import numpy as np  # pragma: no cover - needs cv2
+
+                        gray = (  # pragma: no cover
+                            rimg.mean(axis=2) if rimg.ndim == 3 else rimg
+                        )
+                        row["features"] = [  # pragma: no cover
+                            round(math.log1p(len(data)), 4),
+                            w0 / 1e3,
+                            h0 / 1e3,
+                            float(ch),
+                            round(float(gray.mean()) / 255.0, 4),
+                            round(float(gray.std()) / 255.0, 4),
+                            round(
+                                float(np.abs(np.diff(gray, axis=0)).mean()) / 255.0, 4
+                            ),
+                        ]
+                        for k, v in row.items():  # pragma: no cover
+                            out[k].append(v)
+                        continue  # pragma: no cover
                     img = fake_decode(data)
                     n = len(img.lines)
                     area = float(img.width * img.height) or 1.0

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cache import persist_tracked
+
 ANN_BITS = 12  # hyperplane count for the LSH path (4096 buckets)
 _PLANE_SEED = 0x5EED
 
@@ -287,6 +289,7 @@ def cosine_neardup_pairs(
     max_bucket: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LSH blocking + exact cosine.
 
@@ -294,13 +297,17 @@ def cosine_neardup_pairs(
     bucket holding b vectors yields b^2/2 exact-cosine evaluations, so one
     hot bucket — e.g. a zero/constant-embedding cluster — turns the
     self-join quadratic. Buckets above max_bucket are dropped; sigs persist
-    because the plan has four consumers (count, semi-join, both join sides).
+    because the plan has four consumers (count, semi-join, both join sides) —
+    lifetime is caller-owned via operators.cache.release_caches().
     """
-    sigs = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), bits).alias("bucket"),
-    ).persist()
+    sigs = persist_tracked(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            lsh_signature(F.col(vec_col), bits).alias("bucket"),
+        ),
+        storage_level,
+    )
     keep = (
         sigs.groupBy("bucket")
         .agg(F.count("*").alias("bucket_n"))

@@ -122,7 +122,12 @@ def write_run(
     force=True skips the lineage anti-join and reprocesses everything —
     the reference's `--force` reprocess flag (enqueue.py / main.py:107:
     "if not force: skip when output exists"). Output/lineage append new
-    snapshots; downstream readers of duplicated doc_ids take the latest.
+    snapshots, so reprocessed doc_ids exist in MULTIPLE snapshots
+    afterwards: plain tables.read_table surfaces the duplicates (union
+    semantics); readers that want latest-wins use
+    tables.read_table_latest(spark, wh, "ocr_output", keys=["doc_id"]),
+    and tables.compact_table keeps the union unchanged (run a dedup/MERGE
+    to actually drop the superseded rows).
     """
     prior = None if force else tables.read_table(spark, warehouse, "lineage")
     res = run_extraction(

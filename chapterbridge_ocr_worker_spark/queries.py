@@ -1399,6 +1399,26 @@ def emb_ivf_q(spark, sf_dir):
 
 
 
+def streaming_scratch_dirs(sf_dir: str) -> list[str]:
+    """Checkpoint + file-sink dirs the streaming append queries key by
+    source identity. They deliberately persist across processes (that is
+    what makes re-triggers idempotent), which means a benchmark that wants
+    to measure real streaming work — not a parquet read-back of a previous
+    process's results — must wipe these between timed runs (bench.py does).
+    """
+    import os
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
+    return [
+        f"/tmp/stream_append_out_{key}",
+        f"/tmp/stream_append_ck_{key}",
+        f"/tmp/stream_sess_out_{key}",
+        f"/tmp/stream_sess_ck_{key}",
+    ]
+
+
 def _cache_key(sf_dir: str, suffix: str) -> str:
     """Interleave-cache key tied to the SOURCE file identity: a cache built
     from a previous generation of the testdata must not be served for the

@@ -27,6 +27,42 @@ def table_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
+_MANIFEST = "_live_snapshots.json"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _read_manifest(path: str) -> list[str] | None:
+    """Live-snapshot list, or None when the table has no manifest (legacy
+    layout / plain parquet directory): readers then fall back to listing."""
+    import json
+
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)["snapshots"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_manifest(path: str, snapshots: list[str]) -> None:
+    """Atomically publish the live-snapshot list (os.replace = the commit
+    point; the Iceberg metadata-pointer-swap analogue)."""
+    import json
+
+    tmp = _manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"snapshots": snapshots}, f)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _list_snapshot_dirs(path: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+    )
+
+
 def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> str:
     path = table_path(root, name)
     df.write.mode(mode).parquet(path)
@@ -35,25 +71,73 @@ def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") ->
 
 def append_snapshot(df: DataFrame, root: str, name: str) -> str:
     """Append as a new immutable snapshot directory (atomic-commit stand-in
-    for Iceberg's append). Readers union all snapshots via read_table."""
-    snap = os.path.join(root, name, f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}")
+    for Iceberg's append). Readers union LIVE snapshots via read_table.
+    The manifest update after the data write is the commit point: a crash
+    mid-write leaves an orphan directory no reader ever sees (cleaned by
+    the next compact_table). Single-writer assumption per table."""
+    snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    path = table_path(root, name)
+    snap = os.path.join(path, snap_name)
     df.write.mode("overwrite").parquet(snap)
+    live = _read_manifest(path)
+    if live is None:  # adopt whatever legacy listing readers were seeing
+        live = [d for d in _list_snapshot_dirs(path) if d != snap_name]
+    _write_manifest(path, live + [snap_name])
     return snap
 
 
 def read_table(
     spark: SparkSession, root: str, name: str, schema: T.StructType | None = None
 ) -> DataFrame | None:
-    """Read a table (all snapshots). Returns None if it doesn't exist yet."""
+    """Read a table (all LIVE snapshots). Returns None if it doesn't exist
+    yet. Tables without a manifest (legacy / plain parquet dirs) fall back
+    to directory listing."""
     path = table_path(root, name)
     if not os.path.isdir(path):
         return None
-    sub = [os.path.join(path, d) for d in sorted(os.listdir(path))]
-    parquet_dirs = [p for p in sub if os.path.isdir(p)] or [path]
+    live = _read_manifest(path)
+    if live is not None:
+        parquet_dirs = [
+            os.path.join(path, d)
+            for d in live
+            if os.path.isdir(os.path.join(path, d))
+        ]
+        if not parquet_dirs:
+            return None
+    else:
+        sub = [os.path.join(path, d) for d in sorted(os.listdir(path))]
+        parquet_dirs = [p for p in sub if os.path.isdir(p)] or [path]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*parquet_dirs)
+
+
+def read_table_latest(
+    spark: SparkSession, root: str, name: str, keys: list[str]
+) -> DataFrame | None:
+    """read_table with LATEST-SNAPSHOT-WINS per key.
+
+    Snapshot directory names embed a millisecond commit timestamp, so row
+    provenance (input_file_name) orders rows by commit time; for each key
+    only the newest containing snapshot's rows survive. This is the reader
+    for tables a forced reprocess (pipeline.write_run force=True) appended
+    duplicate doc_ids into — the Iceberg equivalent of reading after MERGE
+    instead of after a plain append."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = read_table(spark, root, name)
+    if df is None:
+        return None
+    snap = F.regexp_extract(F.input_file_name(), r"/(snap-\d+-[0-9a-f]+)/", 1)
+    latest = F.max("_snap").over(Window.partitionBy(*keys))
+    return (
+        df.withColumn("_snap", snap)
+        .withColumn("_latest", F.col("_snap") == latest)
+        .filter(F.col("_latest"))
+        .drop("_snap", "_latest")
+    )
 
 
 def compact_table(
@@ -66,34 +150,48 @@ def compact_table(
     read pays the listing + open cost; compaction restores big-file scans.
     Rows are unchanged (union semantics preserved). Single-writer
     assumption, same as merge_upsert: run it when no appender is active.
+
+    CRASH-SAFE via the manifest: the compacted data is written to a new
+    (unregistered) snapshot directory first, then ONE atomic manifest swap
+    (os.replace) makes it the only live snapshot, then the old directories
+    are dropped. A crash before the swap leaves readers on the old
+    snapshots (the new dir is an invisible orphan, removed by the next
+    compaction); a crash after the swap leaves orphan OLD dirs readers
+    also never see — no reader ever observes duplicated rows.
     """
     import shutil
 
     path = table_path(root, name)
     if not os.path.isdir(path):
         return {"files_before": 0, "files_after": 0, "snapshots_before": 0}
-    old_snaps = [
-        os.path.join(path, d)
-        for d in sorted(os.listdir(path))
-        if os.path.isdir(os.path.join(path, d))
-    ]
+    live = _read_manifest(path)
+    if live is None:
+        live = _list_snapshot_dirs(path)
+    old_snaps = [os.path.join(path, d) for d in live]
 
     def n_files(dirs):
         return sum(
             1
             for d in dirs
+            if os.path.isdir(d)
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
 
-    files_before = n_files(old_snaps) if old_snaps else 0
+    files_before = n_files(old_snaps)
     df = read_table(spark, root, name)
     target = target_files or max(1, spark.sparkContext.defaultParallelism)
-    # the write job streams from the old snapshot files; only after it
-    # commits are the old directories dropped
-    new_snap = append_snapshot(df.repartition(target), root, name)
-    for d in old_snaps:
-        shutil.rmtree(d)
+    # write the compacted snapshot WITHOUT registering it: a reader during
+    # this window still unions exactly the old live set
+    snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+    new_snap = os.path.join(path, snap_name)
+    df.repartition(target).write.mode("overwrite").parquet(new_snap)
+    _write_manifest(path, [snap_name])  # the atomic commit point
+    # everything not in the manifest is dead: the old live dirs plus any
+    # orphans a previously crashed append/compaction left behind
+    for d in _list_snapshot_dirs(path):
+        if d != snap_name:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {
         "files_before": files_before,
         "files_after": n_files([new_snap]),

@@ -97,3 +97,81 @@ def test_compact_table_preserves_rows(spark, tmp_path):
     tables.compact_table(spark, wh, "lineage", target_files=1)
     s = write_run(spark, spark.createDataFrame(docs, schema=schemas.DOCUMENTS), mdf, wh)
     assert s["docs"] == 0
+
+
+def test_compact_crash_window_never_duplicates(spark, tmp_path):
+    """The manifest is the commit point: an unregistered snapshot directory
+    (what a compaction crashed mid-write leaves behind) is invisible to
+    readers — at no point does the old+new union surface duplicated rows —
+    and the next compaction garbage-collects the orphan."""
+    import os
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"])
+    tables.append_snapshot(df, root, "t")
+    assert tables.read_table(spark, root, "t").count() == 2
+
+    # simulate a compaction that wrote its data but died before the
+    # manifest swap: a full copy of the table in an unregistered dir
+    orphan = os.path.join(root, "t", "snap-9999999999999-deadbeef")
+    df.write.mode("overwrite").parquet(orphan)
+    assert tables.read_table(spark, root, "t").count() == 2  # NOT 4
+
+    stats = tables.compact_table(spark, root, "t", target_files=1)
+    assert stats["snapshots_before"] == 1
+    assert tables.read_table(spark, root, "t").count() == 2
+    assert not os.path.isdir(orphan)  # orphan collected
+
+
+def test_read_table_latest_after_force_rerun(spark, tmp_path):
+    """force=True appends duplicate doc_ids across snapshots (documented);
+    read_table_latest gives downstream readers latest-snapshot-wins."""
+    import time as _time
+
+    from chapterbridge_ocr_worker_spark import datagen, schemas
+    from chapterbridge_ocr_worker_spark.pipeline import write_run
+
+    docs, media = datagen.generate_corpus(n_docs=6, seed=7, corrupt_fraction=0.0)
+    ddf = spark.createDataFrame(docs, schema=schemas.DOCUMENTS)
+    mdf = spark.createDataFrame(media, schema=schemas.MEDIA)
+    wh = str(tmp_path / "wh_force")
+    write_run(spark, ddf, mdf, wh)
+    _time.sleep(0.01)  # distinct snapshot timestamps
+    write_run(spark, ddf, mdf, wh, force=True)
+
+    plain = tables.read_table(spark, wh, "ocr_output")
+    assert plain.count() == 12  # duplicates surfaced, as documented
+    latest = tables.read_table_latest(spark, wh, "ocr_output", keys=["doc_id"])
+    assert latest.count() == 6
+    assert latest.select("doc_id").distinct().count() == 6
+
+    # value-level: with CONFLICTING snapshots the newest value wins per key
+    root = str(tmp_path)
+    tables.append_snapshot(
+        spark.createDataFrame([(1, "old"), (2, "old"), (3, "old")], ["id", "v"]),
+        root,
+        "t2",
+    )
+    _time.sleep(0.01)
+    tables.append_snapshot(
+        spark.createDataFrame([(2, "new")], ["id", "v"]), root, "t2"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in tables.read_table_latest(spark, root, "t2", keys=["id"]).collect()
+    }
+    assert got == {1: "old", 2: "new", 3: "old"}
+
+
+def test_operator_cache_release(spark, tmp_path):
+    from chapterbridge_ocr_worker_spark.operators.cache import release_caches
+    from chapterbridge_ocr_worker_spark.operators.dedup import minhash_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"common tokens here plus {i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    release_caches()  # drop anything earlier tests left behind
+    minhash_candidates(docs).count()
+    assert release_caches() == 1  # the signature cache was tracked + freed
+    assert release_caches() == 0  # idempotent
