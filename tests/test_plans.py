@@ -110,6 +110,30 @@ def test_dedup_lsh_plan_hygiene(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_ann_and_neardup_plan_hygiene(spark):
+    """ann_topk_lsh: probe set broadcast to the corpus side, never a
+    cartesian; cosine_neardup_pairs: signature cache barrier present and
+    the bucket self-join is an equi-join (no cartesian)."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ann = ann_topk_lsh(emb, emb.filter("vec_id % 100 = 0"), k=5, bits=6)
+    plan = pi.formatted(ann)
+    assert pi.count_broadcast_joins(ann) >= 1
+    assert "CartesianProduct" not in plan
+
+    nd = cosine_neardup_pairs(emb, threshold=0.9, bits=6)
+    plan = pi.formatted(nd)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    from chapterbridge_ocr_worker_spark.operators.cache import release_caches
+
+    release_caches()
+
+
 def test_ivf_plan_broadcasts_probes(spark):
     """IVF ANN: cell assignment is a per-row projection (no corpus
     self-join), probes broadcast to the corpus side."""
