@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_jaccard_keep",
+    "dedup_clusters",
     "emb_cosine_neardup",
     "emb_ivf_topk",
     "f13_output_docs",

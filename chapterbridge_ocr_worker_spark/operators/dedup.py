@@ -371,6 +371,123 @@ def simhash_signatures(
     return hashed.select("id", signature.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair list: ``(id,
+    cluster_id)`` where ``cluster_id`` is the MIN node id in the component.
+
+    This is the canonical post-pair dedup step in web-scale pipelines
+    (CCNet / RefinedWeb style): near-dup PAIRS are a relation, but the
+    keep/drop decision wants one representative per duplicate CLUSTER, and
+    clusters are the transitive closure of the pair relation.
+
+    Algorithm: min-label propagation with pointer jumping — each round (a)
+    every node takes the min label over its neighbors and itself, then (b)
+    labels are compressed one hop (``label <- label(label)``). Edge
+    propagation alone converges in O(diameter) shuffles; the jump step
+    path-halves label chains, so rounds are O(log d) — this is the
+    DataFrame re-expression of the two-phase hashing schemes in Kiveris et
+    al., "Connected Components in MapReduce and Beyond" (SoCC 2014),
+    trading their large-star/small-star edge rewrites for a stable
+    node-label table that Catalyst can shuffle on a single key.
+
+    Scale notes (10^12-doc corpus):
+    - per round: one groupBy(dst) shuffle over the symmetric edge list +
+      two label-table joins, all hash-partitioned on node id — no
+      all-pairs, no driver-side graph;
+    - every round eagerly checkpoints the label table, truncating the
+      iterative plan lineage (unbounded lineage is the classic iterative-
+      Spark failure mode: analysis time and stack depth grow per round).
+      Uses reliable ``checkpoint()`` when the session has a checkpoint dir
+      (set one in production — recoverable + GC-able), else
+      ``localCheckpoint`` (executor-local blocks, fine for local[N]);
+    - convergence = zero labels changed in a round; each round costs one
+      count() action, and near-dup graphs (small-diameter star-ish
+      clusters) converge in 2-4 rounds.
+
+    The label table is O(|nodes|) longs — at 10^12 docs it is the same
+    order as the doc-id column itself and partitions uniformly.
+    """
+    src, dst = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    sym = edges.select(src, dst).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias(node_col)).distinct()
+    labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("label"))
+
+    sc = edges.sparkSession.sparkContext
+    try:
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # py4j surface moved; localCheckpoint still correct
+        reliable = False
+
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        merged = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("label", "nmin").alias("label"),
+            (F.col("nmin") < F.col("label")).alias("moved"),
+        )
+        # pointer jump: follow the label one hop (label is itself a node id)
+        hop = merged.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        jumped = merged.join(hop, merged["label"] == hop["jid"], "left").select(
+            "id",
+            F.coalesce("jlabel", "label").alias("label"),
+            # convergence flag rides along — no extra old-vs-new join
+            (
+                F.coalesce("moved", F.lit(False))
+                | F.coalesce(F.col("jlabel") < F.col("label"), F.lit(False))
+            ).alias("moved"),
+        )
+        new_labels = (
+            jumped.checkpoint(eager=True) if reliable
+            else jumped.localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.drop("moved")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.6,
+    min_est: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+    storage_level: str | None = None,
+) -> DataFrame:
+    """Duplicate CLUSTERS: every doc labeled with the min doc_id of its
+    near-dup connected component (jaccard_pairs_lsh edge semantics).
+
+    Strictly stronger than jaccard_keep's greedy keep-lowest-id: under
+    chained near-dups (A~B~C but A!~C) the greedy rule can drop B yet keep
+    both A and C; the component label makes the full cluster explicit so
+    the caller can keep exactly one representative per transitive cluster,
+    count cluster sizes, or sample within clusters. Output is linear in the
+    doc count (one row per doc) regardless of pair-set size.
+    """
+    pairs = jaccard_pairs_lsh(
+        df, threshold, min_est, text_col, id_col, max_bucket, storage_level
+    ).select("id_a", "id_b")
+    nodes = df.select(F.col(id_col).alias("id"))
+    return connected_components(pairs, nodes)
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -1205,6 +1205,49 @@ def dedup_jaccard_keep_q(spark, sf_dir):
 
 
 @q(
+    "dedup_clusters",
+    _minhash_cte_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+      WHERE ROUND(list_sum(list_transform(generate_series(1, 32),
+                  k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                  / 32.0, 4) >= 0.35
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c JOIN d ta ON ta.id = c.id_a JOIN d tb ON tb.id = c.id_b
+      WHERE len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) > 0
+        AND ROUND(len(list_intersect(ta.tk, tb.tk))
+                  / CAST(len(ta.tk) + len(tb.tk)
+                         - len(list_intersect(ta.tk, tb.tk)) AS DOUBLE), 4) >= 0.6
+    ),
+    ed AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT id, id AS r FROM d
+      UNION
+      SELECT e.dst AS id, reach.r AS r FROM reach JOIN ed e ON e.src = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "duplicate CLUSTERS: connected components (min-label propagation + "
+    "pointer jumping, lineage-checkpointed per round) over the LSH near-dup "
+    "pair relation — one row per doc, cluster_id = min doc_id of its "
+    "transitive near-dup component; the oracle recomputes the closure with "
+    "a recursive reachability CTE",
+)
+def dedup_clusters_q(spark, sf_dir):
+    from .operators.dedup import neardup_clusters
+
+    return neardup_clusters(t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@q(
     "dedup_minhash_candidates",
     _minhash_cte_sql()
     + """
@@ -2350,6 +2393,7 @@ _REGISTRY_ORDER = [
     "dedup_minhash_candidates",
     "dedup_jaccard_pairs",
     "dedup_jaccard_keep",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_simhash_pairs",
     # text analysis
@@ -2382,8 +2426,8 @@ _REGISTRY_ORDER = [
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
-    "q18_big_orders",
     # --- driver window boundary (50) ---
+    "q18_big_orders",
     "s2_point_lookup",
     "s3_scan_like",
     "s5_distinct_keys",

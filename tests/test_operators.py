@@ -234,6 +234,66 @@ def test_jaccard_keep_one_per_cluster(spark):
     assert kept == {1, 4}  # one representative per cluster + the singleton
 
 
+def test_connected_components_chain_isolates_and_pairs(spark):
+    from chapterbridge_ocr_worker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("d2", "d1"), ("d2", "d3"), ("d3", "d4"), ("d5", "d4"), ("d8", "d7")],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame([(f"d{i}",) for i in range(1, 10)], ["id"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+    assert got == {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1", "d5": "d1",
+        "d6": "d6", "d7": "d7", "d8": "d7", "d9": "d9",
+    }
+    # a 20-node path exercises multi-round convergence (pointer jumping)
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(19)], ["id_a", "id_b"]
+    )
+    labels = connected_components(chain).collect()
+    assert {r["cluster_id"] for r in labels} == {"n00"} and len(labels) == 20
+
+
+def test_neardup_clusters_match_union_find(spark):
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        jaccard_pairs_lsh,
+        neardup_clusters,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    other = "one two three four five six seven eight nine ten".split()
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words[:-1])),          # chained: near-dup of 1
+            (3, " ".join(words[:-2] + ["mu"])),  # near-dup of 2 (maybe not of 1)
+            (4, " ".join(other)),
+            (5, " ".join(other[:-1])),
+            (6, "a singleton document with unique vocabulary entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    # ground truth: union-find over the exact pair relation
+    pairs = [(r["id_a"], r["id_b"]) for r in jaccard_pairs_lsh(df, 0.6).collect()]
+    parent = {i: i for i in range(1, 7)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(1, 7)}
+    got = {r["id"]: r["cluster_id"] for r in neardup_clusters(df, 0.6).collect()}
+    assert got == want
+    assert got[4] == got[5] and got[6] == 6  # sanity: 4~5 cluster, 6 isolated
+
+
 def test_ann_multiprobe_improves_recall(spark):
     import os
 
