@@ -140,6 +140,7 @@ def ann_topk_lsh(
     k: int = 10,
     bits: int = 8,
     multiprobe: bool = True,
+    probe_depth: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -148,12 +149,18 @@ def ann_topk_lsh(
     multiprobe=True probes the query's own bucket PLUS every 1-bit-flip
     neighbor (bits+1 probes): a true neighbor that lands one hyperplane away
     — the dominant miss mode for random-hyperplane LSH — is still found.
-    Costs bits+1 broadcast rows per query, nothing on the corpus side: the
-    corpus-side signature computation stays one linear scan, and each
-    (query, neighbor) can match at most once (a corpus vector has exactly
-    one bucket, probe buckets are distinct), so no candidate dedup is
-    needed. Measured on sf0.01 embeddings: recall@10 vs the exact top-k
-    roughly doubles over single-probe (tests/test_operators.py).
+    probe_depth=2 adds every 2-bit-flip bucket (C(bits,2) more probes),
+    catching neighbors two planes away; with bits=8 that is 37 probes of
+    256 buckets, a ~14% corpus-scan fraction — about the same touch rate as
+    bits=6 single-flip but with measurably higher recall (the multiprobe
+    trade: spend probes, not tables, so the corpus is NOT replicated the
+    way multi-table E2LSH replicates it). Probe cost is query-side only:
+    probe_count broadcast rows per query, the corpus-side signature stays
+    one linear scan, and each (query, neighbor) can match at most once (a
+    corpus vector has exactly one bucket, probe buckets are distinct), so
+    no candidate dedup is needed. Measured on sf0.01 embeddings: recall@10
+    vs the exact top-k roughly doubles over single-probe at depth 1 and
+    again at depth 2 (tests/test_operators.py).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -161,10 +168,17 @@ def ann_topk_lsh(
         lsh_signature(F.col(vec_col), bits).alias("bucket"),
     )
     sig = lsh_signature(F.col(vec_col), bits)
-    probes = (
-        F.array(sig, *[sig.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(bits)])
-        if multiprobe
-        else F.array(sig)
+    masks: list[int] = []
+    if multiprobe:
+        masks = [1 << b for b in range(bits)]
+        if probe_depth >= 2:
+            masks += [
+                (1 << b1) | (1 << b2)
+                for b1 in range(bits)
+                for b2 in range(b1 + 1, bits)
+            ]
+    probes = F.array(
+        sig, *[sig.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
     )
     qs = queries.select(
         F.col(id_col).alias("query_id"),

@@ -1342,11 +1342,15 @@ def emb_topk_q(spark, sf_dir):
     WITH c AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), sig AS (
-      SELECT vec_id, v, {_bucket_sql("v", 6)} AS bucket FROM c
+      SELECT vec_id, v, {_bucket_sql("v", 8)} AS bucket FROM c
     ), probes AS (
       SELECT vec_id AS query_id, v AS qvec,
-             unnest([bucket] || list_transform(generate_series(0, 5),
-                                               b -> xor(bucket, CAST(1 << b AS BIGINT))))
+             unnest([bucket]
+               || list_transform(generate_series(0, 7),
+                                 b -> xor(bucket, CAST(1 << b AS BIGINT)))
+               || flatten(list_transform(generate_series(0, 6),
+                    b1 -> list_transform(generate_series(b1 + 1, 7),
+                           b2 -> xor(bucket, CAST((1 << b1) + (1 << b2) AS BIGINT))))))
                AS bucket
       FROM sig WHERE vec_id % 100 = 0
     ), scored AS (
@@ -1366,14 +1370,17 @@ def emb_topk_q(spark, sf_dir):
     "LSH-bucketed approximate nearest neighbors (scale path for similarity). "
     "Fully SQL-oracled since the hyperplanes moved from xxhash64 to the "
     "portable multiplicative mix: the twin recomputes signatures (same "
-    "left-fold projection order -> bit-identical doubles), the multi-probe "
-    "1-bit flips, and the exact cosine re-rank",
+    "left-fold projection order -> bit-identical doubles), the depth-2 "
+    "multi-probe flips (1-bit + 2-bit, 37 probes of 256 buckets), and the "
+    "exact cosine re-rank",
 )
 def emb_ann_q(spark, sf_dir):
     from .operators.similarity import ann_topk_lsh
 
     emb = t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, bits=6)
+    return ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, bits=8, probe_depth=2
+    )
 
 
 @q(
