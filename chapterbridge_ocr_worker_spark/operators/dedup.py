@@ -414,9 +414,20 @@ def connected_components(
     The label table is O(|nodes|) longs — at 10^12 docs it is the same
     order as the doc-id column itself and partitions uniformly.
     """
-    src, dst = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    sym = edges.select(src, dst).union(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # materialize the DIRECTED edge list ONCE, before mirroring: every
+    # iteration consumes the symmetric list, and without the barrier each
+    # round — and each union branch — re-executes the whole upstream pair
+    # pipeline (for neardup_clusters that is the full LSH+re-rank plan:
+    # measured 104 s unmaterialized, 2x pair cost when the union is
+    # checkpointed as a whole, ~1x with this shape; ~8 s at sf0.1).
+    # localCheckpoint also cuts the edge plan out of every iteration's
+    # lineage. At 10^12-doc scale the pair relation would be a materialized
+    # table between jobs anyway.
+    directed = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=False)
+    sym = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if nodes is None:
         nodes = sym.select(F.col("src").alias(node_col)).distinct()
@@ -428,7 +439,7 @@ def connected_components(
     except Exception:  # py4j surface moved; localCheckpoint still correct
         reliable = False
 
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -451,9 +462,11 @@ def connected_components(
                 | F.coalesce(F.col("jlabel") < F.col("label"), F.lit(False))
             ).alias("moved"),
         )
+        # LAZY checkpoint: the convergence count below is the action that
+        # materializes it — one job per round instead of two
         new_labels = (
-            jumped.checkpoint(eager=True) if reliable
-            else jumped.localCheckpoint(eager=True)
+            jumped.checkpoint(eager=False) if reliable
+            else jumped.localCheckpoint(eager=False)
         )
         changed = new_labels.filter("moved").count()
         labels = new_labels.drop("moved")
