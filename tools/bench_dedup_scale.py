@@ -32,12 +32,17 @@ from chapterbridge_ocr_worker_spark.operators.dedup import (
     jaccard_keep,
     jaccard_pairs_lsh,
     minhash_candidates,
+    neardup_clusters,
     simhash_neardup_pairs,
 )
 
 OPS = {
     "jaccard_pairs": lambda df: jaccard_pairs_lsh(df, threshold=0.6),
     "jaccard_keep": lambda df: jaccard_keep(df, threshold=0.6),
+    # closure over the pair relation: output must stay LINEAR (one row per
+    # doc) and the iterative rounds must not grow with corpus size (salted
+    # slices keep component structure constant)
+    "clusters": lambda df: neardup_clusters(df, threshold=0.6),
     "minhash_candidates": lambda df: minhash_candidates(df),
     "simhash_pairs": lambda df: simhash_neardup_pairs(df, max_hamming=3),
 }
