@@ -441,27 +441,7 @@ def connected_components(
 
     labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        merged = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least("label", "nmin").alias("label"),
-            (F.col("nmin") < F.col("label")).alias("moved"),
-        )
-        # pointer jump: follow the label one hop (label is itself a node id)
-        hop = merged.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
-        jumped = merged.join(hop, merged["label"] == hop["jid"], "left").select(
-            "id",
-            F.coalesce("jlabel", "label").alias("label"),
-            # convergence flag rides along — no extra old-vs-new join
-            (
-                F.coalesce("moved", F.lit(False))
-                | F.coalesce(F.col("jlabel") < F.col("label"), F.lit(False))
-            ).alias("moved"),
-        )
+        jumped = _cc_round(labels, sym)
         # LAZY checkpoint: the convergence count below is the action that
         # materializes it — one job per round instead of two
         new_labels = (
@@ -473,6 +453,33 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_round(labels: DataFrame, sym: DataFrame) -> DataFrame:
+    """One clustering round as a pure plan: neighbor-min propagation then a
+    one-hop pointer jump, with the convergence flag riding along (no extra
+    old-vs-new join). Equi-joins and one key-hash groupBy only — plan
+    hygiene is pinned by tests/test_plans.py."""
+    nbr_min = (
+        sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("label").alias("nmin"))
+    )
+    merged = labels.join(nbr_min, "id", "left").select(
+        "id",
+        F.least("label", "nmin").alias("label"),
+        (F.col("nmin") < F.col("label")).alias("moved"),
+    )
+    # pointer jump: follow the label one hop (label is itself a node id)
+    hop = merged.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+    return merged.join(hop, merged["label"] == hop["jid"], "left").select(
+        "id",
+        F.coalesce("jlabel", "label").alias("label"),
+        (
+            F.coalesce("moved", F.lit(False))
+            | F.coalesce(F.col("jlabel") < F.col("label"), F.lit(False))
+        ).alias("moved"),
+    )
 
 
 def neardup_clusters(

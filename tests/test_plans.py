@@ -110,6 +110,25 @@ def test_dedup_lsh_plan_hygiene(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_cc_round_plan_hygiene(spark):
+    """One connected-components round: neighbor-min propagation + pointer
+    jump must stay equi-joins and a key-hash groupBy — no nested-loop or
+    cartesian fallback (those would be quadratic in nodes at scale)."""
+    from pyspark.sql import functions as F
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import _cc_round
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["src", "dst"]
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = spark.range(21).select(F.col("id"), F.col("id").alias("label"))
+    plan = pi.formatted(_cc_round(labels, sym))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning" in plan  # the groupBy(dst) min shuffles on key
+
+
 def test_ann_and_neardup_plan_hygiene(spark):
     """ann_topk_lsh: probe set broadcast to the corpus side, never a
     cartesian; cosine_neardup_pairs: signature cache barrier present and
