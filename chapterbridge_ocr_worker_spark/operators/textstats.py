@@ -132,3 +132,60 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(
         id_col, *[c.alias(name) for name, c in cols.items()]
     )
+
+
+def corpus_language_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus inventory: docs / total tokens / total chars —
+    THE question a training run asks of a corpus ("how many tokens do I
+    have per language?").
+
+    All aggregates are integer sums, so the result is bit-exact across
+    engines and partition orders (no float summation-order hazard); one
+    hash shuffle on the (tiny-cardinality) language key. Language skew is
+    real at web scale (en dominates) but the map-side partial aggregation
+    reduces each partition to <=6 rows before the shuffle, so the hot key
+    never concentrates rows, only partial sums.
+    """
+    t = F.col(text_col)
+    return (
+        df.select(
+            predicted_lang(t).alias("pred_lang"),
+            token_count(t).alias("n_tokens"),
+            F.length(t).alias("n_chars"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def topk_quality_per_lang(
+    df: DataFrame, k: int = 25, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Curation: the k highest-quality docs per predicted language
+    (alpha-ratio primary, token count secondary, id tiebreak).
+
+    The rank<=k filter over a row_number window compiles to Spark's
+    WindowGroupLimit: each partition keeps a running top-k per language
+    instead of fully sorting the corpus — the per-group-limit shape that
+    survives a 10^12-doc corpus (pinned in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    q = quality_columns(t)
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        predicted_lang(t).alias("pred_lang"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["n_tokens"].alias("n_tokens"),
+    )
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.col("alpha_ratio").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

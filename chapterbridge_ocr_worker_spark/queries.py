@@ -1127,6 +1127,82 @@ def text_ngram5(spark, sf_dir):
     return d.select("doc_id", distinct_char_ngrams(F.col("text"), 5).alias("n_grams"))
 
 
+_LANGED_CTE_SQL = """
+    WITH v AS (
+      SELECT doc_id, text,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS tk
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, text,
+        len(list_filter(tk, s -> list_contains(['the','a','of','to','and','in','is','it'], lower(s)))) AS en,
+        len(list_filter(tk, s -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], lower(s)))) AS de,
+        len(list_filter(tk, s -> list_contains(['el','la','de','que','y','en','un','es'], lower(s)))) AS es,
+        len(list_filter(tk, s -> list_contains(['le','la','de','et','un','est','que','en'], lower(s)))) AS fr
+      FROM v
+    ), langed AS (
+      SELECT doc_id, text,
+             CASE
+               WHEN len(regexp_replace(text, '[^一-鿿]', '', 'g')) * 5 > len(trim(text)) THEN 'zh'
+               WHEN greatest(en, de, es, fr) = 0 THEN 'unknown'
+               WHEN en = greatest(en, de, es, fr) THEN 'en'
+               WHEN de = greatest(en, de, es, fr) THEN 'de'
+               WHEN es = greatest(en, de, es, fr) THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM votes
+    )
+"""
+
+
+@q(
+    "corpus_lang_stats",
+    _LANGED_CTE_SQL
+    + f"""
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           SUM({_NTOK_SQL}) AS total_tokens,
+           SUM(len(text)) AS total_chars
+    FROM langed GROUP BY pred_lang
+    """,
+    "per-language corpus inventory (docs/tokens/chars) — the token-budget "
+    "question a training run asks; integer sums only, bit-exact across "
+    "engines and partition orders",
+)
+def corpus_lang_stats_q(spark, sf_dir):
+    from .operators.textstats import corpus_language_stats
+
+    return corpus_language_stats(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "curate_topk_per_lang",
+    _LANGED_CTE_SQL
+    + f"""
+    , scored AS (
+      SELECT doc_id, pred_lang,
+             ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(greatest(len(text), 1) AS DOUBLE), 4) AS alpha_ratio,
+             {_NTOK_SQL} AS n_tokens
+      FROM langed
+    )
+    SELECT doc_id, pred_lang, alpha_ratio, n_tokens, rank FROM (
+      SELECT doc_id, pred_lang, alpha_ratio, n_tokens,
+             row_number() OVER (PARTITION BY pred_lang
+                                ORDER BY alpha_ratio DESC, n_tokens DESC, doc_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 25
+    """,
+    "curation: top-25 quality docs per predicted language (alpha-ratio "
+    "primary, token-count secondary, id tiebreak) — the rank filter "
+    "compiles to WindowGroupLimit (running per-group top-k, no full sort)",
+)
+def curate_topk_q(spark, sf_dir):
+    from .operators.textstats import topk_quality_per_lang
+
+    return topk_quality_per_lang(t(spark, sf_dir, "documents"), k=25)
+
+
 @q(
     "dedup_exact",
     f"""
@@ -2434,6 +2510,8 @@ _REGISTRY_ORDER = [
     "q3_topk_revenue",
     "q5_region_revenue",
     # --- driver window boundary (50) ---
+    "corpus_lang_stats",
+    "curate_topk_per_lang",
     "q18_big_orders",
     "s2_point_lookup",
     "s3_scan_like",

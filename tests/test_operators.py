@@ -234,6 +234,32 @@ def test_jaccard_keep_one_per_cluster(spark):
     assert kept == {1, 4}  # one representative per cluster + the singleton
 
 
+def test_corpus_language_stats_and_curation(spark):
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        corpus_language_stats,
+        topk_quality_per_lang,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat and it is a cat"),
+            (2, "der hund ist nicht ein hund und das ist"),
+            (3, "the quick brown fox is a fox of the woods"),
+            (4, "!!! ??? ..."),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {r["pred_lang"]: r for r in corpus_language_stats(df).collect()}
+    assert stats["en"]["n_docs"] == 2 and stats["de"]["n_docs"] == 1
+    assert stats["en"]["total_tokens"] == 11 + 10
+    assert stats["en"]["total_chars"] == 37 + 41
+    top = topk_quality_per_lang(df, k=1).collect()
+    by_lang = {r["pred_lang"]: r for r in top}
+    assert all(r["rank"] == 1 for r in top)
+    # doc 3 has the higher alpha ratio of the two english docs
+    assert by_lang["en"]["doc_id"] == 3
+
+
 def test_connected_components_chain_isolates_and_pairs(spark):
     from chapterbridge_ocr_worker_spark.operators.dedup import connected_components
 

@@ -110,6 +110,16 @@ def test_dedup_lsh_plan_hygiene(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_curate_topk_uses_window_group_limit(spark):
+    """The per-language top-k must compile to WindowGroupLimit (running
+    top-k per group on both the partial and final side) — a plain Window
+    sort would fully sort the corpus per language at scale."""
+    df = QUERIES["curate_topk_per_lang"].fn(spark, SF)
+    plan = pi.formatted(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
 def test_cc_round_plan_hygiene(spark):
     """One connected-components round: neighbor-min propagation + pointer
     jump must stay equi-joins and a key-hash groupBy — no nested-loop or
