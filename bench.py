@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "emb_ann_lsh",
     "text_quality",
     "text_lang_id",
+    "corpus_lang_stats",
+    "curate_topk_per_lang",
     "stream_hourly_agg",
     "stream_hourly_append",
     "asof_last_view_before_purchase",
