@@ -130,3 +130,51 @@ def test_portable_hash_matches_spark(spark):
         r["h"] for r in df.select(portable_token_hash(F.col("t")).alias("h")).collect()
     ]
     assert got == [_phash_py(t) for t in toks]
+
+
+# ---------------------------------------------------------------------------
+# connected components == union-find on random graphs
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(_edges_strategy)
+@settings(max_examples=8, deadline=None)  # each example runs Spark jobs
+def test_connected_components_matches_union_find(spark, edge_list):
+    from pyspark.sql import functions as F
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import connected_components
+
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    nodes = spark.range(n).select(F.col("id").cast("int").alias("id"))
+    if edge_list:
+        edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    else:
+        edges = nodes.select(
+            F.col("id").alias("id_a"), F.col("id").alias("id_b")
+        ).limit(0)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == want

@@ -37,3 +37,36 @@ def test_extract_job_cli(spark, tmp_path):
     s2 = run()  # resume: only the failed docs retry, none newly commit
     assert s2["docs"] == 0
     assert s2["failed_docs"] == s1["failed_docs"]
+
+
+def test_curate_job_cli(spark, tmp_path):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:-1])),       # near-dup of 1 -> same cluster
+        (3, "the cat is in the hat and it is a cat"),
+        (4, "der hund ist nicht ein hund und das ist"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "curated")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "curate_job.py"),
+         "--documents", docs_dir, "--out", out_dir, "--cores", "4"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 4
+    assert stats["docs_kept"] == 3 and stats["dropped_as_dups"] == 1
+    assert stats["languages"]["en"]["docs"] == 1  # doc 3 (1/2's rep is 'unknown')
+    assert stats["languages"]["de"]["docs"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/kept_docs").collect()}
+    assert kept == {1, 3, 4}  # doc 2 collapsed into cluster rep 1
+    topk = spark.read.parquet(f"{out_dir}/curated_topk")
+    assert topk.filter("rank = 1").count() == topk.select("pred_lang").distinct().count()
