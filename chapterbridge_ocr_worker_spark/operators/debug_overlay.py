@@ -68,9 +68,13 @@ def _overlay_fake(content: bytes, lines: list) -> bytes:
 
 
 def _overlay_real(content: bytes, lines: list) -> bytes:
-    """Real-image path: PIL ImageDraw, exactly the reference's kernel
-    (ocr_engine.py:247-293) — a polygon per detection bbox plus the label
-    at (x0, y0-25). Import-gated: PIL is absent in this container, where a
+    """Real-image path: PIL ImageDraw, the same polygon+label shape as the
+    reference's kernel (ocr_engine.py:247-293) — a polygon per detection
+    bbox plus the label at (x0, y0-25). Deliberate divergences from the
+    reference: red width-1 outline and red label (reference: width=2 outline
+    with a blue truetype label + optional title banner), and y0-25 clamped
+    at 0 so labels for top-edge detections stay inside the canvas.
+    Import-gated: PIL is absent in this container, where a
     non-FAKEIMG blob dead-letters with this NotImplementedError instead of
     killing the task (tests/test_real_kernels.py covers both gate sides)."""
     try:

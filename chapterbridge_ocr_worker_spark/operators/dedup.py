@@ -440,6 +440,7 @@ def connected_components(
         reliable = False
 
     labels = labels.localCheckpoint(eager=False)
+    changed = 0
     for _ in range(max_iter):
         jumped = _cc_round(labels, sym)
         # LAZY checkpoint: the convergence count below is the action that
@@ -452,6 +453,20 @@ def connected_components(
         labels = new_labels.drop("moved")
         if changed == 0:
             break
+    if changed != 0:
+        # exhausting max_iter means labels may still be mid-propagation —
+        # deduping on them would silently merge/split wrong clusters, so the
+        # exit is loud (near-dup graphs converge in 2-4 rounds; hitting 30
+        # means the input is adversarial or max_iter was lowered)
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} with "
+            f"{changed} labels still moving — cluster labels may be "
+            "unconverged; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

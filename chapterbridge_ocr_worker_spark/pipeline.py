@@ -126,8 +126,10 @@ def write_run(
     afterwards: plain tables.read_table surfaces the duplicates (union
     semantics); readers that want latest-wins use
     tables.read_table_latest(spark, wh, "ocr_output", keys=["doc_id"]),
-    and tables.compact_table keeps the union unchanged (run a dedup/MERGE
-    to actually drop the superseded rows).
+    and compaction of such a table must pass the same keys
+    (tables.compact_table(..., keys=["doc_id"]) resolves the per-key
+    winners during the rewrite; a plain compact merges the snapshots and
+    forfeits latest-wins, which read_table_latest then refuses).
     """
     prior = None if force else tables.read_table(spark, warehouse, "lineage")
     res = run_extraction(

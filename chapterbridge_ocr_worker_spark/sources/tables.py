@@ -28,38 +28,82 @@ def table_path(root: str, name: str) -> str:
 
 
 _MANIFEST = "_live_snapshots.json"
+_MANIFEST_LOCK = "_manifest.lock"
 
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, _MANIFEST)
 
 
-def _read_manifest(path: str) -> list[str] | None:
-    """Live-snapshot list, or None when the table has no manifest (legacy
-    layout / plain parquet directory): readers then fall back to listing."""
+def _read_manifest(path: str) -> dict | None:
+    """Manifest dict {"snapshots": [...], "compacted": {...}?}, or None when
+    the table has no manifest (legacy layout / plain parquet directory):
+    readers then fall back to listing."""
     import json
 
     try:
         with open(_manifest_path(path)) as f:
-            return json.load(f)["snapshots"]
+            m = json.load(f)
+            m["snapshots"]  # schema check
+            return m
     except (OSError, ValueError, KeyError):
         return None
 
 
-def _write_manifest(path: str, snapshots: list[str]) -> None:
+def _live_snapshots(path: str) -> list[str] | None:
+    m = _read_manifest(path)
+    return None if m is None else m["snapshots"]
+
+
+def _write_manifest(path: str, snapshots: list[str], **extra) -> None:
     """Atomically publish the live-snapshot list (os.replace = the commit
     point; the Iceberg metadata-pointer-swap analogue)."""
     import json
 
     tmp = _manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump({"snapshots": snapshots}, f)
+        json.dump({"snapshots": snapshots, **extra}, f)
     os.replace(tmp, _manifest_path(path))
 
 
+class _manifest_lock:
+    """fcntl advisory lock serializing manifest read-modify-write commits.
+
+    Two concurrent append_snapshot writers both do read-manifest -> write
+    -> publish; without the lock the second publish drops the first's
+    snapshot (lost update). The lock makes the commit section a CAS-like
+    critical region — the Iceberg analogue is the catalog's atomic
+    compare-and-swap of the metadata pointer. Data writes stay OUTSIDE the
+    lock (each snapshot is a unique directory), so writers only serialize
+    on the few-ms manifest swap, not on each other's I/O."""
+
+    def __init__(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        self._path = os.path.join(path, _MANIFEST_LOCK)
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+        return False
+
+
 def _list_snapshot_dirs(path: str) -> list[str]:
+    """Committed snapshot dirs. Dot-prefixed dirs are in-flight writes
+    (another appender's data, not yet renamed+committed under the lock) and
+    must never be adopted, read, or GC'd as if they were snapshots."""
     return sorted(
-        d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith(".")
     )
 
 
@@ -74,15 +118,28 @@ def append_snapshot(df: DataFrame, root: str, name: str) -> str:
     for Iceberg's append). Readers union LIVE snapshots via read_table.
     The manifest update after the data write is the commit point: a crash
     mid-write leaves an orphan directory no reader ever sees (cleaned by
-    the next compact_table). Single-writer assumption per table."""
+    the next compact_table). CONCURRENT appenders are safe: the data write
+    happens outside the lock (unique directory per snapshot), then the
+    manifest read-modify-write runs under _manifest_lock so no commit can
+    drop another writer's snapshot."""
     snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
     path = table_path(root, name)
     snap = os.path.join(path, snap_name)
-    df.write.mode("overwrite").parquet(snap)
-    live = _read_manifest(path)
-    if live is None:  # adopt whatever legacy listing readers were seeing
-        live = [d for d in _list_snapshot_dirs(path) if d != snap_name]
-    _write_manifest(path, live + [snap_name])
+    # write to a dot-prefixed in-flight dir: a concurrent appender adopting
+    # a legacy (manifest-less) table must not mistake this uncommitted data
+    # for a committed snapshot, and listings/GC skip dotted dirs
+    inflight = os.path.join(path, f".inflight-{snap_name}")
+    df.write.mode("overwrite").parquet(inflight)
+    with _manifest_lock(path):
+        m = _read_manifest(path)
+        if m is None:  # adopt whatever legacy listing readers were seeing
+            live = _list_snapshot_dirs(path)
+            extra = {}
+        else:
+            live = m["snapshots"]
+            extra = {k: v for k, v in m.items() if k != "snapshots"}
+        os.rename(inflight, snap)  # data becomes visible only with the commit
+        _write_manifest(path, live + [snap_name], **extra)
     return snap
 
 
@@ -95,7 +152,7 @@ def read_table(
     path = table_path(root, name)
     if not os.path.isdir(path):
         return None
-    live = _read_manifest(path)
+    live = _live_snapshots(path)
     if live is not None:
         parquet_dirs = [
             os.path.join(path, d)
@@ -105,8 +162,8 @@ def read_table(
         if not parquet_dirs:
             return None
     else:
-        sub = [os.path.join(path, d) for d in sorted(os.listdir(path))]
-        parquet_dirs = [p for p in sub if os.path.isdir(p)] or [path]
+        sub = [os.path.join(path, d) for d in _list_snapshot_dirs(path)]
+        parquet_dirs = sub or [path]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -123,13 +180,30 @@ def read_table_latest(
     only the newest containing snapshot's rows survive. This is the reader
     for tables a forced reprocess (pipeline.write_run force=True) appended
     duplicate doc_ids into — the Iceberg equivalent of reading after MERGE
-    instead of after a plain append."""
+    instead of after a plain append.
+
+    Compaction interplay: compact_table merges all live snapshots into ONE
+    directory, which destroys the per-snapshot provenance this reader
+    depends on — unless the compaction already applied the per-key dedup
+    (compact_table(keys=...)). The manifest records how the table was
+    compacted; a mismatch raises here instead of silently resurrecting
+    superseded rows."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     df = read_table(spark, root, name)
     if df is None:
         return None
+    m = _read_manifest(table_path(root, name))
+    if m is not None and "compacted" in m:
+        ckeys = m["compacted"].get("keys")
+        if ckeys is None or list(ckeys) != list(keys):
+            raise RuntimeError(
+                f"table {name!r} was compacted with keys={ckeys} — snapshot "
+                f"provenance for latest-wins on keys={keys} is gone. "
+                "Compact with compact_table(..., keys=...) to preserve "
+                "latest-wins semantics."
+            )
     snap = F.regexp_extract(F.input_file_name(), r"/(snap-\d+-[0-9a-f]+)/", 1)
     latest = F.max("_snap").over(Window.partitionBy(*keys))
     return (
@@ -141,30 +215,50 @@ def read_table_latest(
 
 
 def compact_table(
-    spark: SparkSession, root: str, name: str, target_files: int | None = None
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_files: int | None = None,
+    keys: list[str] | None = None,
 ) -> dict:
     """Rewrite all of a table's snapshots into one compacted snapshot —
     the Iceberg `rewrite_data_files` analogue. Every append_snapshot adds a
     directory with shuffle-partition-count files, so a long-running
     incremental pipeline accumulates thousands of small files and every
     read pays the listing + open cost; compaction restores big-file scans.
-    Rows are unchanged (union semantics preserved). Single-writer
-    assumption, same as merge_upsert: run it when no appender is active.
+
+    ``keys``: compaction MERGES snapshots, which destroys the per-snapshot
+    provenance read_table_latest's latest-wins depends on. For tables that
+    carry superseded rows (force=True reruns appending duplicate doc_ids),
+    pass the latest-wins keys: the per-key winners are resolved DURING
+    compaction, so the compacted table reads identically before and after.
+    Without keys, rows are unchanged (plain union semantics) and the
+    manifest records that provenance is gone — read_table_latest refuses
+    such tables instead of silently resurrecting superseded rows.
 
     CRASH-SAFE via the manifest: the compacted data is written to a new
     (unregistered) snapshot directory first, then ONE atomic manifest swap
-    (os.replace) makes it the only live snapshot, then the old directories
+    (os.replace, under _manifest_lock) makes it live, then dead directories
     are dropped. A crash before the swap leaves readers on the old
     snapshots (the new dir is an invisible orphan, removed by the next
     compaction); a crash after the swap leaves orphan OLD dirs readers
     also never see — no reader ever observes duplicated rows.
+
+    CONCURRENT APPEND SAFE: the commit re-reads the manifest under the
+    lock and keeps any snapshot committed after compaction started
+    (new manifest = [compacted] + late arrivals), so an appender running
+    during the (long) rewrite never loses its commit. Run ONE compactor at
+    a time (two concurrent compactions of the same table would each fold
+    the other's output).
     """
     import shutil
 
     path = table_path(root, name)
+    empty = {"files_before": 0, "files_after": 0, "snapshots_before": 0,
+             "legacy_files_removed": 0}
     if not os.path.isdir(path):
-        return {"files_before": 0, "files_after": 0, "snapshots_before": 0}
-    live = _read_manifest(path)
+        return empty
+    live = _live_snapshots(path)
     if live is None:
         live = _list_snapshot_dirs(path)
     old_snaps = [os.path.join(path, d) for d in live]
@@ -179,23 +273,55 @@ def compact_table(
         )
 
     files_before = n_files(old_snaps)
-    df = read_table(spark, root, name)
+    df = read_table_latest(spark, root, name, keys) if keys else read_table(
+        spark, root, name
+    )
+    if df is None:  # manifest exists but every listed dir is gone
+        return empty
     target = target_files or max(1, spark.sparkContext.defaultParallelism)
     # write the compacted snapshot WITHOUT registering it: a reader during
     # this window still unions exactly the old live set
     snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
     new_snap = os.path.join(path, snap_name)
     df.repartition(target).write.mode("overwrite").parquet(new_snap)
-    _write_manifest(path, [snap_name])  # the atomic commit point
+    with _manifest_lock(path):
+        # CAS-style commit: keep snapshots appended while we were rewriting
+        now_live = _live_snapshots(path)
+        late = [
+            d for d in (now_live if now_live is not None else [])
+            if d not in live and d != snap_name
+        ]
+        _write_manifest(
+            path, [snap_name] + late, compacted={"keys": keys}
+        )
     # everything not in the manifest is dead: the old live dirs plus any
     # orphans a previously crashed append/compaction left behind
     for d in _list_snapshot_dirs(path):
-        if d != snap_name:
+        if d != snap_name and d not in late:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # dotted in-flight dirs belong to LIVE concurrent appenders — GC only
+    # stale ones (a crashed writer's abandoned data; 1 h is far beyond any
+    # single snapshot write)
+    for d in os.listdir(path):
+        dp = os.path.join(path, d)
+        if d.startswith(".inflight-") and os.path.isdir(dp):
+            if time.time() - os.path.getmtime(dp) > 3600:
+                shutil.rmtree(dp, ignore_errors=True)
+    # legacy top-level parquet files (pre-manifest plain layout) are
+    # invisible to manifest readers but were never garbage-collected —
+    # their rows are in the compacted snapshot now (when they were the
+    # visible data) or were superseded long ago; either way, dead weight
+    legacy = 0
+    for f in os.listdir(path):
+        fp = os.path.join(path, f)
+        if os.path.isfile(fp) and (f.endswith(".parquet") or f == "_SUCCESS"):
+            os.remove(fp)
+            legacy += 1
     return {
         "files_before": files_before,
         "files_after": n_files([new_snap]),
         "snapshots_before": len(old_snaps),
+        "legacy_files_removed": legacy,
     }
 
 

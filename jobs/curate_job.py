@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
 
+    # reliable (recoverable, GC-able) checkpoints for the iterative
+    # connected-components rounds: with a checkpoint dir set,
+    # connected_components uses checkpoint() instead of localCheckpoint(),
+    # so on a real cluster an executor loss mid-clustering is survivable.
+    # --out is the job's durable storage, so co-locate them there.
+    spark.sparkContext.setCheckpointDir(os.path.join(args.out, "_checkpoints"))
+
     clusters = neardup_clusters(docs, threshold=args.threshold)
     # representative = the doc whose id IS its cluster label (the min id)
     reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(

@@ -281,6 +281,31 @@ def test_connected_components_chain_isolates_and_pairs(spark):
     assert {r["cluster_id"] for r in labels} == {"n00"} and len(labels) == 20
 
 
+def test_connected_components_warns_when_unconverged(spark):
+    """Exhausting max_iter with labels still moving must be LOUD: silently
+    returning mid-propagation labels would dedup on wrong clusters
+    (ADVICE r3). A 20-node path can't converge in one round."""
+    import warnings
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(19)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=1).collect()
+    assert any(
+        "max_iter" in str(w.message) and w.category is RuntimeWarning
+        for w in caught
+    )
+    # and a converged run stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=30).collect()
+    assert not any("max_iter" in str(w.message) for w in caught)
+
+
 def test_neardup_clusters_match_union_find(spark):
     from chapterbridge_ocr_worker_spark.operators.dedup import (
         jaccard_pairs_lsh,

@@ -70,3 +70,6 @@ def test_curate_job_cli(spark, tmp_path):
     assert kept == {1, 3, 4}  # doc 2 collapsed into cluster rep 1
     topk = spark.read.parquet(f"{out_dir}/curated_topk")
     assert topk.filter("rank = 1").count() == topk.select("pred_lang").distinct().count()
+    # the job must set a RELIABLE checkpoint dir on its durable storage so
+    # connected_components survives executor loss on a real cluster
+    assert os.path.isdir(os.path.join(out_dir, "_checkpoints"))

@@ -163,6 +163,125 @@ def test_read_table_latest_after_force_rerun(spark, tmp_path):
     assert got == {1: "old", 2: "new", 3: "old"}
 
 
+def test_concurrent_appends_lose_no_snapshot(spark, tmp_path):
+    """Two appenders racing the manifest read-modify-write: without the
+    fcntl commit lock the second publish drops the first's snapshot (lost
+    update). With it, both snapshots land and readers see the union."""
+    import threading
+
+    root = str(tmp_path)
+    dfs = [
+        spark.createDataFrame([(i * 10 + j, "w%d" % i) for j in range(5)], ["id", "w"])
+        for i in range(4)
+    ]
+    barrier = threading.Barrier(4)
+    errs = []
+
+    def append(df):
+        try:
+            barrier.wait(timeout=60)
+            tables.append_snapshot(df, root, "race")
+        except Exception as e:  # surfaced below — a swallowed error would
+            errs.append(e)  # make the count assertion pass vacuously
+
+    threads = [threading.Thread(target=append, args=(d,)) for d in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    got = tables.read_table(spark, root, "race")
+    assert got.count() == 20
+    assert tables._live_snapshots(tables.table_path(root, "race"))
+    assert len(tables._live_snapshots(tables.table_path(root, "race"))) == 4
+
+
+def test_compact_with_keys_preserves_latest_wins(spark, tmp_path):
+    """compact_table(keys=...) resolves per-key winners during the rewrite,
+    so read_table_latest reads identically before and after compaction."""
+    import time as _time
+
+    root = str(tmp_path)
+    tables.append_snapshot(
+        spark.createDataFrame([(1, "old"), (2, "old")], ["id", "v"]), root, "t"
+    )
+    _time.sleep(0.01)
+    tables.append_snapshot(
+        spark.createDataFrame([(2, "new"), (3, "new")], ["id", "v"]), root, "t"
+    )
+    want = {(1, "old"), (2, "new"), (3, "new")}
+    before = tables.read_table_latest(spark, root, "t", keys=["id"])
+    assert {(r["id"], r["v"]) for r in before.collect()} == want
+
+    stats = tables.compact_table(spark, root, "t", target_files=1, keys=["id"])
+    assert stats["snapshots_before"] == 2
+    after = tables.read_table_latest(spark, root, "t", keys=["id"])
+    assert {(r["id"], r["v"]) for r in after.collect()} == want
+    # superseded row physically gone, not just masked
+    assert tables.read_table(spark, root, "t").count() == 3
+
+
+def test_compact_without_keys_refuses_latest_wins_readers(spark, tmp_path):
+    """A plain compact merges snapshots and destroys provenance; the
+    manifest records it and read_table_latest raises instead of silently
+    resurrecting superseded duplicate keys (ADVICE r3)."""
+    import time as _time
+
+    import pytest
+
+    root = str(tmp_path)
+    tables.append_snapshot(spark.createDataFrame([(1, "old")], ["id", "v"]), root, "t")
+    _time.sleep(0.01)
+    tables.append_snapshot(spark.createDataFrame([(1, "new")], ["id", "v"]), root, "t")
+    tables.compact_table(spark, root, "t", target_files=1)
+    assert tables.read_table(spark, root, "t").count() == 2  # union kept
+    with pytest.raises(RuntimeError, match="compacted"):
+        tables.read_table_latest(spark, root, "t", keys=["id"])
+
+
+def test_compact_handles_missing_snapshot_dirs(spark, tmp_path):
+    """Manifest lists snapshots whose dirs are gone (manual deletion /
+    partial restore): compact must early-return empty stats, not crash on
+    read_table() -> None (ADVICE r3)."""
+    import shutil
+
+    root = str(tmp_path)
+    snap = tables.append_snapshot(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), root, "t"
+    )
+    shutil.rmtree(snap)
+    stats = tables.compact_table(spark, root, "t")
+    assert stats["files_after"] == 0
+    stats = tables.compact_table(spark, root, "t", keys=["id"])
+    assert stats["files_after"] == 0
+
+
+def test_compact_collects_legacy_toplevel_files(spark, tmp_path):
+    """A plain-parquet table adopted into the snapshot layout keeps its old
+    top-level files forever (invisible to manifest readers, doubling
+    storage); compaction folds their rows in and deletes them."""
+    import os
+
+    root = str(tmp_path)
+    path = tables.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1),
+        root,
+        "t",
+    )
+    assert any(f.endswith(".parquet") for f in os.listdir(path))
+    tables.append_snapshot(spark.createDataFrame([(3, "c")], ["id", "v"]), root, "t")
+    # legacy top-level rows invisible once snapshot dirs exist (pre-existing
+    # fallback-reader behavior) -> compaction sees 1 row, GCs the dead files
+    stats = tables.compact_table(spark, root, "t", target_files=1)
+    assert stats["legacy_files_removed"] >= 1
+    assert not any(
+        f.endswith(".parquet")
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+    )
+    assert tables.read_table(spark, root, "t").count() == 1
+
+
 def test_operator_cache_release(spark, tmp_path):
     from chapterbridge_ocr_worker_spark.operators.cache import release_caches
     from chapterbridge_ocr_worker_spark.operators.dedup import minhash_candidates
