@@ -168,6 +168,56 @@ def minhash_signatures(
     return out.withColumn("bands", F.array(*[band_hash(j) for j in range(MH_BANDS)]))
 
 
+def materialize_signatures(
+    df: DataFrame,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write the MinHash signature table (id, toks, sig, bands) to parquet
+    and return a fresh SCAN of it.
+
+    The extreme-scale alternative to the in-memory persist barrier
+    (_est_pairs): the signature plan has five consumers, and on a 100 TB
+    corpus the signatures themselves are tens of TB — too big to pin in
+    executor storage, and worth keeping anyway, because a later INCREMENTAL
+    run (incremental_dedup) band-joins next week's crawl against this very
+    table instead of recomputing the whole corpus. Every downstream
+    consumer becomes a plain columnar FileScan with pushdown (pinned by
+    tests/test_plans.test_sig_table_mode_scans_parquet).
+
+    Goes through sources.tables.write_table so the storage layout matches
+    the rest of the warehouse; pass the returned frame (or a later
+    ``read_signatures``) wherever an operator accepts ``prior_sigs``."""
+    import os
+
+    from ..sources.tables import write_table
+
+    sigs = minhash_signatures(df, text_col, id_col)
+    root, name = os.path.split(table_path.rstrip("/"))
+    write_table(sigs, root or ".", name)
+    return read_signatures(df.sparkSession, table_path)
+
+
+def read_signatures(spark, table_path: str) -> DataFrame:
+    """Scan a previously materialized signature table."""
+    return spark.read.parquet(table_path)
+
+
+def _sig_source(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    storage_level: str | None,
+    table_path: str | None,
+) -> DataFrame:
+    """Signature materialization barrier: parquet table when table_path is
+    given (scale path / feeds incremental runs), else a tracked persist."""
+    if table_path is not None:
+        return materialize_signatures(df, table_path, text_col, id_col)
+    return persist_tracked(minhash_signatures(df, text_col, id_col), storage_level)
+
+
 def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = 256) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs: docs sharing >=1 band bucket.
 
@@ -242,17 +292,23 @@ def minhash_candidates(
     min_est: float = 0.5,
     max_bucket: int = 256,
     storage_level: str | None = None,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with minhash-estimated Jaccard >= min_est.
 
     Persists the signature table internally (see _est_pairs); the CALLER
     owns the cache lifetime — call cache.release_caches() when done, or
-    pass storage_level="DISK_ONLY" to keep it off the executor heap."""
-    sigs = persist_tracked(
-        minhash_signatures(df, text_col, id_col)
-        .select("id", "sig", "bands"),  # toks not needed: keep the cache narrow
-        storage_level,
-    )
+    pass storage_level="DISK_ONLY" to keep it off the executor heap.
+    table_path switches the barrier to a materialized parquet signature
+    table (see materialize_signatures) — the 100-TB mode."""
+    if table_path is not None:
+        sigs = materialize_signatures(df, table_path, text_col, id_col)
+    else:
+        sigs = persist_tracked(
+            minhash_signatures(df, text_col, id_col)
+            .select("id", "sig", "bands"),  # toks not needed: keep it narrow
+            storage_level,
+        )
     return _est_pairs(sigs, min_est, max_bucket)
 
 
@@ -264,6 +320,7 @@ def jaccard_pairs_lsh(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     storage_level: str | None = None,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard >= threshold over MinHash-LSH band candidates.
 
@@ -279,7 +336,7 @@ def jaccard_pairs_lsh(
     the DuckDB twin recomputes the identical portable-hash pipeline, so the
     output is engine-exact, not merely approximately equal.
     """
-    sigs = persist_tracked(minhash_signatures(df, text_col, id_col), storage_level)
+    sigs = _sig_source(df, text_col, id_col, storage_level, table_path)
     pairs = _est_pairs(sigs, min_est, max_bucket).select("id_a", "id_b")
     ta = sigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     tb = sigs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -302,6 +359,7 @@ def jaccard_keep(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     storage_level: str | None = None,
+    table_path: str | None = None,
 ) -> DataFrame:
     """The dedup DECISION: ids to keep — a doc is dropped iff it has a
     near-dup (jaccard_pairs_lsh semantics) with a smaller id.
@@ -314,7 +372,8 @@ def jaccard_keep(
     connected-components pass.
     """
     pairs = jaccard_pairs_lsh(
-        df, threshold, min_est, text_col, id_col, max_bucket, storage_level
+        df, threshold, min_est, text_col, id_col, max_bucket, storage_level,
+        table_path,
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return (
@@ -505,6 +564,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     storage_level: str | None = None,
+    table_path: str | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS: every doc labeled with the min doc_id of its
     near-dup connected component (jaccard_pairs_lsh edge semantics).
@@ -517,10 +577,178 @@ def neardup_clusters(
     doc count (one row per doc) regardless of pair-set size.
     """
     pairs = jaccard_pairs_lsh(
-        df, threshold, min_est, text_col, id_col, max_bucket, storage_level
+        df, threshold, min_est, text_col, id_col, max_bucket, storage_level,
+        table_path,
     ).select("id_a", "id_b")
     nodes = df.select(F.col(id_col).alias("id"))
     return connected_components(pairs, nodes)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    prior_sigs: DataFrame,
+    prior_clusters: DataFrame | None = None,
+    threshold: float = 0.6,
+    min_est: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+    storage_level: str | None = None,
+) -> DataFrame:
+    """Incremental dedup of NEW docs against a prior corpus's materialized
+    signature table: ``(id, keep, cluster_id)`` — one row per new doc.
+
+    The weekly-crawl workflow the portable-hash design (module docstring)
+    exists for: the prior corpus was deduped once, its signature table
+    (``materialize_signatures``) and cluster labels (``neardup_clusters``)
+    were kept, and next week's crawl must be judged against the union
+    WITHOUT recomputing 100 TB of signatures. Only new docs are hashed;
+    the band join runs new-vs-(new ∪ prior); prior pairs are never
+    re-derived (prior connectivity enters as the linear-sized cluster-label
+    edge list). This is the dedup analogue of the extraction pipeline's
+    resume anti-join (reference: enqueue's existing-key skip,
+    workers/ocr/enqueue.py:49-87 — judge prior work by its recorded
+    artifact, don't redo it).
+
+    Semantics:
+    - PRIOR DECISIONS ARE FROZEN: prior docs are already in the corpus
+      (possibly shipped to training) and are never dropped retroactively.
+    - a new doc is DROPPED iff it near-dups (jaccard_pairs_lsh semantics,
+      same threshold/min_est/cap, bucket caps computed over the UNION) any
+      prior doc, or a new doc with a smaller id;
+    - ``cluster_id`` = min member id of the doc's near-dup component over
+      (prior cluster edges ∪ new-involving pairs) — a new doc that chains
+      two prior clusters together merges their labels in THIS output
+      (prior rows keep their stored labels until the next full re-cluster).
+
+    Equivalence to a full recompute: when new ids are all greater than
+    prior ids (crawl-ordered ids) and no band bucket crosses max_bucket
+    between the prior corpus and the union, keep and cluster labels for
+    new docs are IDENTICAL to running jaccard_keep / neardup_clusters on
+    the union from scratch (tests/test_operators.py pins this). A bucket
+    that outgrows the cap only in the union makes the incremental run see
+    strictly fewer union pairs — same direction the full recompute moves.
+
+    Scale shape: new-side rows drive every join (a week's crawl vs the
+    corpus: |new| << |prior|); the only prior-sized work is the bucket
+    count (groupBy on the exploded (id, bucket) pairs — narrow rows,
+    uniform key) and the final label propagation over the linear cluster
+    edge list. No prior signature is recomputed, no prior pair re-scored.
+    """
+    new_sigs = persist_tracked(
+        minhash_signatures(new_docs, text_col, id_col), storage_level
+    )
+    allsigs = persist_tracked(
+        prior_sigs.select("id", "toks", "sig", "bands")
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            new_sigs.select("id", "toks", "sig", "bands").withColumn(
+                "is_new", F.lit(True)
+            )
+        ),
+        storage_level,
+    )
+
+    # band explode over the union; caps are UNION-wide (a bucket's
+    # degeneracy is a property of the whole corpus, not of one slice)
+    e = allsigs.select("id", "is_new", F.explode("bands").alias("bh"))
+    kept = (
+        e.groupBy("bh")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("bh")
+    )
+    e = e.join(kept, "bh", "left_semi")
+    # candidates: one side NEW, other side anything — the prior-vs-prior
+    # quadrant (the expensive one at 100 TB) is never generated
+    en = e.filter("is_new")
+    cand = (
+        en.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # est-prefilter then exact re-rank, same stages as jaccard_pairs_lsh;
+    # is_new flags ride the attach joins (no extra membership join)
+    sa = allsigs.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("is_new").alias("new_a"),
+    )
+    sb = allsigs.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("is_new").alias("new_b"),
+    )
+    matching = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(matching / F.lit(float(MH_K)), 4) >= min_est)
+        .select("id_a", "id_b", "new_a", "new_b")
+    )
+    ta = allsigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = allsigs.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    pairs = persist_tracked(
+        est.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.round(jac, 4) >= threshold)
+        .select("id_a", "id_b", "new_a", "new_b"),
+        storage_level,
+    )
+
+    # keep/drop: the prior side of a mixed pair always wins; new-new pairs
+    # drop the greater id (keep-lowest-id, same rule as jaccard_keep)
+    drop_id = (
+        F.when(F.col("new_a") & ~F.col("new_b"), F.col("id_a"))
+        .when(F.col("new_b") & ~F.col("new_a"), F.col("id_b"))
+        .otherwise(F.col("id_b"))
+    )
+    dropped = pairs.select(drop_id.alias("id")).distinct()
+
+    # cluster labels: prior connectivity enters as its (linear) cluster
+    # edge list — closure-equivalent to the prior pair relation, without
+    # touching a single prior pair
+    if prior_clusters is None:
+        prior_clusters = prior_sigs.select(
+            F.col("id"), F.col("id").alias("cluster_id")
+        )
+    cluster_edges = prior_clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    nodes = (
+        prior_sigs.select("id").unionByName(new_sigs.select("id")).distinct()
+    )
+    labels = connected_components(
+        cluster_edges.unionByName(pairs.select("id_a", "id_b")), nodes
+    )
+
+    new_ids = new_sigs.select("id")
+    return (
+        new_ids.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+    )
 
 
 def simhash_neardup_pairs(

@@ -857,6 +857,76 @@ def _minhash_cte_sql(max_bucket: int = 256) -> str:
     """
 
 
+_EST_MATCH_SQL = (
+    "ROUND(list_sum(list_transform(generate_series(1, 32), "
+    "k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) / 32.0, 4)"
+)
+_JACCARD_SQL = (
+    "ROUND(CASE WHEN len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) > 0 "
+    "THEN len(list_intersect(ta.tk, tb.tk)) / CAST(len(ta.tk) + len(tb.tk) "
+    "- len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) ELSE 0.0 END, 4)"
+)
+
+
+def _incremental_cte_sql() -> str:
+    """Twin of dedup.incremental_dedup over a 60/40 crawl-ordered split of
+    the documents table: prior = doc_id < t, new = doc_id >= t, with
+    t = 60% of (max id + 1) in pure integer arithmetic (engine-identical).
+
+    Recomputes (a) the prior-only pipeline — per-doc signatures are
+    slice-independent, so the union pipeline's `e` explode is reusable with
+    prior-only bucket caps — giving last week's cluster labels; (b) the
+    new-involving pairs under UNION-wide caps; then closes (prior cluster
+    edges ∪ new pairs) with a recursive reachability CTE. With
+    crawl-ordered ids every new-involving canonical pair (id_a < id_b) has
+    a NEW id_b, so the keep rule is id_b ∉ dropped."""
+    return _minhash_cte_sql().replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+    , thr AS (SELECT ((MAX(doc_id) + 1) * 6) // 10 AS t FROM documents)
+    , pe AS (SELECT id, bh FROM e WHERE id < (SELECT t FROM thr))
+    , pkept AS (SELECT bh FROM pe GROUP BY bh HAVING COUNT(*) <= 256)
+    , pek AS (SELECT pe.id, pe.bh FROM pe JOIN pkept USING (bh))
+    , pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM pek a JOIN pek b ON a.bh = b.bh AND a.id < b.id)
+    , pest AS (SELECT c.id_a, c.id_b FROM pcand c
+               JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+               WHERE {_EST_MATCH_SQL} >= 0.35)
+    , ppairs AS (SELECT c.id_a, c.id_b FROM pest c
+                 JOIN d ta ON ta.id = c.id_a JOIN d tb ON tb.id = c.id_b
+                 WHERE {_JACCARD_SQL} >= 0.6)
+    , ped AS (SELECT id_a AS src, id_b AS dst FROM ppairs
+              UNION SELECT id_b AS src, id_a AS dst FROM ppairs)
+    , preach AS (
+        SELECT id, id AS r FROM d WHERE id < (SELECT t FROM thr)
+        UNION SELECT pd.dst AS id, preach.r AS r
+        FROM preach JOIN ped pd ON pd.src = preach.id)
+    , pclust AS (SELECT id, MIN(r) AS cluster_id FROM preach GROUP BY id)
+    , ncand AS (SELECT id_a, id_b FROM cand WHERE id_b >= (SELECT t FROM thr))
+    , nest AS (SELECT c.id_a, c.id_b FROM ncand c
+               JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+               WHERE {_EST_MATCH_SQL} >= 0.35)
+    , npairs AS (SELECT c.id_a, c.id_b FROM nest c
+                 JOIN d ta ON ta.id = c.id_a JOIN d tb ON tb.id = c.id_b
+                 WHERE {_JACCARD_SQL} >= 0.6)
+    , ed2 AS (
+        SELECT id AS src, cluster_id AS dst FROM pclust WHERE id <> cluster_id
+        UNION SELECT cluster_id AS src, id AS dst FROM pclust WHERE id <> cluster_id
+        UNION SELECT id_a AS src, id_b AS dst FROM npairs
+        UNION SELECT id_b AS src, id_a AS dst FROM npairs)
+    , reach2 AS (
+        SELECT id, id AS r FROM d
+        UNION SELECT e2.dst AS id, reach2.r AS r
+        FROM reach2 JOIN ed2 e2 ON e2.src = reach2.id)
+    , clust2 AS (SELECT id, MIN(r) AS cluster_id FROM reach2 GROUP BY id)
+    SELECT n.id,
+           CASE WHEN dr.id IS NULL THEN CAST(1 AS INT)
+                ELSE CAST(0 AS INT) END AS keep,
+           c.cluster_id
+    FROM (SELECT id FROM d WHERE id >= (SELECT t FROM thr)) n
+    LEFT JOIN (SELECT DISTINCT id_b AS id FROM npairs) dr ON dr.id = n.id
+    JOIN clust2 c ON c.id = n.id
+    """
+
+
 def _simhash_cte_sql() -> str:
     """CTE chain: documents -> 62-bit simhash signatures (bit votes over the
     two-fold portable token hash). Mirrors dedup.simhash_signatures."""
@@ -1321,6 +1391,35 @@ def dedup_clusters_q(spark, sf_dir):
     from .operators.dedup import neardup_clusters
 
     return neardup_clusters(t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@q(
+    "dedup_incremental",
+    _incremental_cte_sql(),
+    "incremental dedup: next crawl slice (doc_id >= 60% split) judged "
+    "against the prior corpus's materialized signature table + cluster "
+    "labels — keep/drop + cluster_id per NEW doc, no prior pair recomputed; "
+    "the oracle recomputes prior clusters and the new-involving union pairs "
+    "and closes them with a recursive reachability CTE",
+)
+def dedup_incremental_q(spark, sf_dir):
+    from .operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        neardup_clusters,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # crawl-ordered 60/40 split; integer arithmetic matches the twin's
+    # ((max+1)*6)//10 exactly. The 1-row max collect is the split DEFINITION
+    # for this self-contained query, not part of the operator (a real run
+    # passes last week's tables explicitly).
+    t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
+    prior = docs.filter(F.col("doc_id") < t_split)
+    new = docs.filter(F.col("doc_id") >= t_split)
+    prior_sigs = minhash_signatures(prior)
+    prior_clusters = neardup_clusters(prior, threshold=0.6)
+    return incremental_dedup(new, prior_sigs, prior_clusters, threshold=0.6)
 
 
 @q(
@@ -2477,6 +2576,7 @@ _REGISTRY_ORDER = [
     "dedup_jaccard_pairs",
     "dedup_jaccard_keep",
     "dedup_clusters",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
     # text analysis

@@ -281,6 +281,96 @@ def test_connected_components_chain_isolates_and_pairs(spark):
     assert {r["cluster_id"] for r in labels} == {"n00"} and len(labels) == 20
 
 
+def _crawl_corpus():
+    """Deterministic corpus with dups crossing the prior/new boundary.
+
+    ids 0..39, prior = 0..23, new = 24..39 (crawl-ordered ids):
+      - 24 duplicates prior doc 3 (prior-vs-new drop)
+      - 26 duplicates new doc 25 (new-vs-new drop, keep-lowest-id)
+      - 28 near-dups new doc 27 (~0.82 jaccard re-rank path)
+      - everything else pairwise-distinct token sets
+    """
+    import random
+
+    rng = random.Random(777)
+    vocab = [f"tok{i:03d}" for i in range(4000)]
+    texts = {}
+    for i in range(40):
+        texts[i] = " ".join(rng.sample(vocab, 50))
+    texts[24] = texts[3]
+    texts[26] = texts[25]
+    toks27 = texts[27].split()
+    toks27[:5] = rng.sample([v for v in vocab if v not in toks27], 5)
+    texts[28] = " ".join(toks27)
+    return [(i, texts[i]) for i in range(40)]
+
+
+def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
+    """incremental_dedup over (new docs, prior signature table, prior
+    clusters) must reproduce the full-union recompute exactly for the new
+    docs — keep decisions AND cluster labels — when ids are crawl-ordered
+    and no bucket crosses the cap (the documented equivalence regime).
+    prior_sigs comes through materialize_signatures, so the parquet
+    round-trip of the signature table is covered too."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        jaccard_keep,
+        materialize_signatures,
+        neardup_clusters,
+    )
+
+    rows = _crawl_corpus()
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    prior = all_docs.filter("doc_id < 24")
+    new = all_docs.filter("doc_id >= 24")
+
+    prior_sigs = materialize_signatures(prior, str(tmp_path / "prior_sigs"))
+    prior_clusters = neardup_clusters(prior, threshold=0.6)
+    inc = incremental_dedup(
+        new, prior_sigs, prior_clusters, threshold=0.6
+    ).collect()
+
+    full_keep = {r["id"] for r in jaccard_keep(all_docs, threshold=0.6).collect()}
+    full_labels = {
+        r["id"]: r["cluster_id"]
+        for r in neardup_clusters(all_docs, threshold=0.6).collect()
+    }
+
+    assert {r["id"] for r in inc} == set(range(24, 40))  # one row per new doc
+    assert {r["id"] for r in inc if r["keep"] == 1} == {
+        i for i in range(24, 40) if i in full_keep
+    }
+    assert {r["id"]: r["cluster_id"] for r in inc} == {
+        i: full_labels[i] for i in range(24, 40)
+    }
+    # the planted cases actually fired
+    by_id = {r["id"]: r for r in inc}
+    assert by_id[24]["keep"] == 0 and by_id[24]["cluster_id"] == 3  # prior dup
+    assert by_id[26]["keep"] == 0 and by_id[26]["cluster_id"] == 25  # new-new
+    assert by_id[25]["keep"] == 1
+    assert by_id[28]["keep"] == 0 and by_id[28]["cluster_id"] == 27  # near-dup
+
+
+def test_incremental_dedup_defaults_prior_singletons(spark):
+    """Without prior_clusters, prior docs count as singleton clusters: a
+    new dup of a prior doc still drops and labels into the prior id."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    rows = _crawl_corpus()
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    prior = all_docs.filter("doc_id < 24")
+    new = all_docs.filter("doc_id >= 24")
+    got = {
+        r["id"]: (r["keep"], r["cluster_id"])
+        for r in incremental_dedup(new, minhash_signatures(prior)).collect()
+    }
+    assert got[24] == (0, 3)
+    assert got[26] == (0, 25)
+
+
 def test_connected_components_warns_when_unconverged(spark):
     """Exhausting max_iter with labels still moving must be LOUD: silently
     returning mid-propagation labels would dedup on wrong clusters
