@@ -9,6 +9,13 @@ this shared host — single shots swing ±40%):
 - each query runs >= 2 times; heavy queries (best > 5 s) get a third sample;
 - headline "queries" = BEST of the runs (steady-state), "median_queries" =
   median (what a contended sweep really sees), "cold_queries" = first run;
+- PHANTOM-PROOFING (r3 adjudication: two recorded medians were 5-17x
+  host-steal phantoms): (a) every sample records the /proc/stat CPU steal
+  fraction over its own window; a query whose min-steal sample exceeds 5%
+  is listed in "contaminated" — its numbers are the host's, not the
+  code's; (b) when the median drifts >3x above the best, the query is
+  resampled (up to 5 runs total) so one stolen sample can't become the
+  recorded median;
 - operator-internal signature caches are released AFTER each timed run
   (operators.cache.release_caches) so queries can't bleed executor storage
   into each other — round 2 recorded a 12x phantom on dedup_jaccard_pairs
@@ -55,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_jaccard_keep",
     "dedup_clusters",
+    "dedup_incremental",
     "emb_cosine_neardup",
     "emb_ivf_topk",
     "f13_output_docs",
@@ -75,6 +83,17 @@ BENCH_QUERIES = [
 
 # queries whose cross-process scratch state must be wiped per timed run
 _STREAMING_SCRATCH = {"stream_hourly_append", "stream_session_windows"}
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — steal is time the
+    hypervisor ran someone else while this VM wanted the CPU, the exact
+    contamination mode behind r2/r3's phantom recordings."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def _prebuild_interleave(spark, sf_dir: str) -> None:
@@ -103,6 +122,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steal_fracs: dict[str, float] = {}
+    contaminated: list[str] = []
     extra: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = QUERIES[name]
@@ -116,23 +137,43 @@ def main() -> None:
             if name in _STREAMING_SCRATCH:
                 for d in streaming_scratch_dirs(sf_dir):
                     shutil.rmtree(d, ignore_errors=True)
+            s0, t0_ticks = _cpu_ticks()
             t0 = time.time()
             n = qd.fn(spark, sf_dir).count()
-            return time.time() - t0, n
+            dt = time.time() - t0
+            s1, t1_ticks = _cpu_ticks()
+            steal = (s1 - s0) / max(1, t1_ticks - t0_ticks)
+            return dt, n, steal
 
-        runs = []
+        runs, steals = [], []
         for _ in range(2):
-            dt, n = one_run()
+            dt, n, st = one_run()
             runs.append(dt)
+            steals.append(st)
         # this shared host swings single shots +-40%; when both runs of a
         # heavy query look slow, buy one more sample before recording it
         if min(runs) > 5.0:
-            dt, n = one_run()
+            dt, n, st = one_run()
             runs.append(dt)
+            steals.append(st)
+        # phantom-proof the MEDIAN: a median >3x the best means at least
+        # one sample was stolen — resample until the median is honest or
+        # the budget (5 runs) is spent
+        while (
+            statistics.median(runs) > 3.0 * min(runs)
+            and min(runs) > 0.2
+            and len(runs) < 5
+        ):
+            dt, n, st = one_run()
+            runs.append(dt)
+            steals.append(st)
         best = min(runs)
         timings[name] = round(best, 3)
         medians[name] = round(statistics.median(runs), 3)
         cold[name] = round(runs[0], 3)
+        steal_fracs[name] = round(min(steals), 4)
+        if min(steals) > 0.05:
+            contaminated.append(name)
         if name == "extract_e2e_full":
             extra["extract_docs"] = n
             extra["extract_docs_per_sec"] = round(n / best, 2) if best > 0 else 0.0
@@ -147,6 +188,8 @@ def main() -> None:
                 "queries": timings,
                 "median_queries": medians,
                 "cold_queries": cold,
+                "steal_frac": steal_fracs,
+                "contaminated": contaminated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 **extra,

@@ -647,6 +647,60 @@ def q18_big(spark, sf_dir):
 
 
 @q(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: volume shipping — aggregation above a 3-way "
+    "lineitem⋈orders⋈customer fact chain with two broadcast nation edges "
+    "and a cross-edge OR predicate; pins AQE join ordering + broadcast "
+    "decisions on a multi-fact plan (tests/test_plans.py)",
+)
+def q7_nation_volume_q(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
     "q4_exists_priority",
     """
     SELECT o_orderpriority, COUNT(*) AS n
@@ -825,15 +879,24 @@ _TOKSET_SQL = (
 )
 
 
-def _minhash_cte_sql(max_bucket: int = 256) -> str:
+def _minhash_cte_sql(max_bucket: int = 256, family: int = 0) -> str:
     """CTE chain: documents -> token sets -> minhash sigs -> band buckets ->
     capped candidate pairs. Mirrors dedup.minhash_signatures +
-    dedup.lsh_candidate_pairs constant-for-constant."""
-    from .operators.dedup import _A, _B, _BAND_MULT, MH_BANDS, MH_K, MH_PRIME, MH_ROWS
+    dedup.lsh_candidate_pairs constant-for-constant, for either permutation
+    family (dedup.MH_FAMILIES)."""
+    from .operators.dedup import (
+        _BAND_MULT,
+        MH_BANDS,
+        MH_FAMILIES,
+        MH_K,
+        MH_PRIME,
+        MH_ROWS,
+    )
 
+    _a, _b = MH_FAMILIES[family]
     sig_exprs = [
         f"list_min(list_prepend(CAST({MH_PRIME} AS BIGINT), "
-        f"list_transform(hs, h -> ({_A[i]} * h + {_B[i]}) % {MH_PRIME})))"
+        f"list_transform(hs, h -> ({_a[i]} * h + {_b[i]}) % {MH_PRIME})))"
         for i in range(MH_K)
     ]
     band_exprs = []
@@ -2634,6 +2697,7 @@ _REGISTRY_ORDER = [
     "notin_null_aware",
     "q2_min_price_per_type",
     "w_range_30d_revenue",
+    "q7_nation_volume",
 ]
 
 

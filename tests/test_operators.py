@@ -371,6 +371,78 @@ def test_incremental_dedup_defaults_prior_singletons(spark):
     assert got[26] == (0, 25)
 
 
+def test_lsh_recall_stable_across_permutation_families(spark):
+    """LSH recall near the threshold is a random variable over the
+    permutation draw (r3 scale-stress: 2.6x candidate swing at s~=0.6 on a
+    pathological corpus). On a realistic planted fixture at s~=0.72
+    (E[recall] = 1-(1-s^4)^8 = 0.92), the two disjoint coefficient
+    families must both clear 0.8 and agree within 0.15 — a family whose
+    draw collapses recall here would silently under-dedup a real corpus."""
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import jaccard_pairs_lsh
+
+    rng = random.Random(4242)
+    vocab = [f"w{i:04d}" for i in range(20000)]
+    rows = []
+    for i in range(80):
+        toks = rng.sample(vocab, 50)
+        near = list(toks)
+        repl = rng.sample(range(50), 8)  # 42/58 ~= 0.724 set-jaccard
+        pool = rng.sample([v for v in vocab if v not in toks], 8)
+        for j, r in enumerate(repl):
+            near[r] = pool[j]
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(near)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    planted = {(2 * i, 2 * i + 1) for i in range(80)}
+    recalls = {}
+    for fam in (0, 1):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_lsh(df, threshold=0.6, family=fam).collect()
+        }
+        assert found <= planted  # disjoint 50-token draws can't cross-pair
+        recalls[fam] = len(found & planted) / len(planted)
+    assert recalls[0] >= 0.8 and recalls[1] >= 0.8, recalls
+    assert abs(recalls[0] - recalls[1]) <= 0.15, recalls
+
+
+def test_minhash_family1_matches_duckdb_twin(spark):
+    """The oracle generator is parameterized by family: the family-1 Spark
+    pipeline must hash-match the family-1 DuckDB CTE just like family 0
+    does in the driver gate (cross-engine portability of BOTH draws)."""
+    import duckdb
+    import pandas as pd
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import minhash_candidates
+    from chapterbridge_ocr_worker_spark.queries import _minhash_cte_sql
+
+    rows = [(i, f"alpha bravo charlie delta echo{i % 7} fox{i % 5} golf{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_candidates(df, min_est=0.3, family=1).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = _minhash_cte_sql(family=1) + """
+    SELECT c.id_a, c.id_b,
+           ROUND(list_sum(list_transform(generate_series(1, 32),
+                 k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                 / 32.0, 4) AS est_jaccard
+    FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+    WHERE ROUND(list_sum(list_transform(generate_series(1, 32),
+                k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+                / 32.0, 4) >= 0.3
+    """
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) > 0
+
+
 def test_connected_components_warns_when_unconverged(spark):
     """Exhausting max_iter with labels still moving must be LOUD: silently
     returning mid-propagation labels would dedup on wrong clusters

@@ -110,6 +110,21 @@ def test_dedup_lsh_plan_hygiene(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_q7_fact_chain_broadcasts_all_dims(spark):
+    """TPC-H Q7 shape: aggregation above lineitem⋈orders⋈customer with two
+    nation edges. Every dimension edge (supplier, both nations — and at
+    this SF customer too) must resolve to a broadcast join; a SortMergeJoin
+    on a dimension edge would shuffle the fact table once per dim at
+    scale. The fact-fact edge is left to AQE."""
+    df = QUERIES["q7_nation_volume"].fn(spark, SF)
+    assert pi.count_broadcast_joins(df) >= 3  # supplier + nation x2 pinned
+    plan = pi.formatted(df)
+    assert "CartesianProduct" not in plan
+    # at this SF every table is broadcast-sized: any SMJ means a dimension
+    # edge fell through to a fact-sized shuffle
+    assert "SortMergeJoin" not in plan
+
+
 def test_sig_table_mode_scans_parquet(spark, tmp_path):
     """table_path mode: the five signature consumers must read the
     MATERIALIZED parquet table — no in-memory barrier, and crucially no
