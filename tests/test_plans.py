@@ -158,7 +158,31 @@ def test_curate_topk_uses_window_group_limit(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cc_round_plan_hygiene(spark):
+def test_incremental_dedup_plan_hygiene(spark, tmp_path):
+    """incremental_dedup over a parquet prior-signature table: the prior
+    side must enter as a plain FileScan (no per-char hash fold re-derived
+    for prior docs — 'ascii(' may appear exactly once, for the NEW slice),
+    equi-joins only, no cartesian fallback."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        materialize_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    prior_sigs = materialize_signatures(
+        docs.filter("doc_id < 20"), str(tmp_path / "sigs")
+    )
+    out = incremental_dedup(docs.filter("doc_id >= 20"), prior_sigs)
+    plan = pi.formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan parquet" in plan  # prior side reads the materialized table
+    # the signature hash fold runs for the new slice only: one consumer
+    # (the persisted union barrier), not one per prior-side consumer
+    assert plan.count("ascii(") <= 1
     """One connected-components round: neighbor-min propagation + pointer
     jump must stay equi-joins and a key-hash groupBy — no nested-loop or
     cartesian fallback (those would be quadratic in nodes at scale)."""

@@ -39,6 +39,67 @@ def test_extract_job_cli(spark, tmp_path):
     assert s2["failed_docs"] == s1["failed_docs"]
 
 
+def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
+    """The weekly-crawl dedup entrypoint: run 1 bootstraps the state dir
+    (full dedup + signature table), run 2 judges a new slice against the
+    materialized state incrementally. Clean subprocess, two invocations
+    sharing --state."""
+    import random
+
+    rng = random.Random(777)
+    vocab = [f"tok{i:03d}" for i in range(4000)]
+    texts = {i: " ".join(rng.sample(vocab, 50)) for i in range(40)}
+    texts[24] = texts[3]   # prior-vs-new dup
+    texts[26] = texts[25]  # new-vs-new dup
+
+    w1 = str(tmp_path / "week1")
+    w2 = str(tmp_path / "week2")
+    spark.createDataFrame(
+        [(i, texts[i]) for i in range(24)], ["doc_id", "text"]
+    ).write.parquet(w1)
+    spark.createDataFrame(
+        [(i, texts[i]) for i in range(24, 40)], ["doc_id", "text"]
+    ).write.parquet(w2)
+    state = str(tmp_path / "state")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(docs_dir, out_dir):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "dedup_job.py"),
+             "--documents", docs_dir, "--state", state,
+             "--out", out_dir, "--cores", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(w1, str(tmp_path / "out1"))
+    assert s1 == {
+        "mode": "bootstrap", "docs_in": 24, "kept": 24,
+        "dropped_as_dups": 0, "corpus_total": 24,
+    }
+
+    s2 = run(w2, str(tmp_path / "out2"))
+    assert s2["mode"] == "incremental"
+    assert s2["docs_in"] == 16 and s2["corpus_total"] == 40
+    assert s2["dropped_as_dups"] == 2  # 24 (dup of prior 3), 26 (dup of 25)
+    dec = {
+        r["id"]: (r["keep"], r["cluster_id"])
+        for r in spark.read.parquet(str(tmp_path / "out2" / "decisions")).collect()
+    }
+    assert dec[24] == (0, 3) and dec[26] == (0, 25) and dec[25] == (1, 25)
+    # state carries the union forward for week 3
+    sigs = spark.read.parquet(
+        *[str(p) for p in (tmp_path / "state" / "signatures").iterdir()
+          if p.is_dir()]
+    )
+    assert sigs.count() == 40
+
+
 def test_curate_job_cli(spark, tmp_path):
     words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
     rows = [
