@@ -1466,11 +1466,7 @@ def dedup_clusters_q(spark, sf_dir):
     "and closes them with a recursive reachability CTE",
 )
 def dedup_incremental_q(spark, sf_dir):
-    from .operators.dedup import (
-        incremental_dedup,
-        minhash_signatures,
-        neardup_clusters,
-    )
+    from .operators.dedup import incremental_dedup, read_signatures
 
     docs = t(spark, sf_dir, "documents")
     # crawl-ordered 60/40 split; integer arithmetic matches the twin's
@@ -1478,11 +1474,41 @@ def dedup_incremental_q(spark, sf_dir):
     # for this self-contained query, not part of the operator (a real run
     # passes last week's tables explicitly).
     t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
-    prior = docs.filter(F.col("doc_id") < t_split)
     new = docs.filter(F.col("doc_id") >= t_split)
-    prior_sigs = minhash_signatures(prior)
-    prior_clusters = neardup_clusters(prior, threshold=0.6)
+    sig_path, cl_path = ensure_dedup_prior_state(spark, sf_dir)
+    prior_sigs = read_signatures(spark, sig_path)
+    prior_clusters = spark.read.parquet(cl_path)
     return incremental_dedup(new, prior_sigs, prior_clusters, threshold=0.6)
+
+
+def ensure_dedup_prior_state(spark, sf_dir) -> tuple[str, str]:
+    """Build-once-per-testdata-generation 'last week's run' state for the
+    incremental query: materialized prior signature table + cluster labels
+    on disk, keyed to source identity (same rationale as the interleave
+    cache — this is the PRIOR run's cost, not the weekly increment's;
+    bench.py builds it outside the timed region). Staging-dir + rename
+    commit: a killed build never leaves a half-written state to poison
+    later runs. Returns (sig_path, clusters_path)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.dedup import materialize_signatures, neardup_clusters
+
+    base = f"/tmp/dedup_prior_{_cache_key(sf_dir, '')}"
+    sig_path, cl_path = f"{base}/sigs", f"{base}/clusters"
+    if not (os.path.isdir(sig_path) and os.path.isdir(cl_path)):
+        docs = t(spark, sf_dir, "documents")
+        t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
+        prior = docs.filter(F.col("doc_id") < t_split)
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        materialize_signatures(prior, f"{staging}/sigs")
+        neardup_clusters(prior, threshold=0.6).write.mode("overwrite").parquet(
+            f"{staging}/clusters"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return sig_path, cl_path
 
 
 @q(
