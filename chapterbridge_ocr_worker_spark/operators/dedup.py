@@ -74,6 +74,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, h) — the exact-dedup content hash per doc, the row a state-
+    keeping pipeline materializes so later slices can be judged without
+    re-reading prior text."""
+    return df.select(
+        F.col(id_col).alias("id"), F.md5(normalized(F.col(text_col))).alias("h")
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    prior_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of NEW docs against a prior corpus's hash table:
+    ``(id, keep)`` per new doc — dropped iff its content hash already
+    exists in the prior corpus, or a new doc with a smaller id has it.
+
+    The exact-hash sibling of incremental_dedup (same frozen-prior
+    semantics): prior_hashes is the materialized ``exact_hashes`` output
+    of everything processed before — 33 bytes/doc, the cheapest possible
+    dedup state. Scale shape: one narrow join on the 128-bit hash
+    (uniform by construction) + one groupBy over new rows only."""
+    new_h = exact_hashes(new_docs, text_col, id_col)
+    first_new = new_h.groupBy("h").agg(F.min("id").alias("first_new"))
+    seen = prior_hashes.select("h").distinct().withColumn("_prior", F.lit(1))
+    return (
+        new_h.join(first_new, "h")
+        .join(seen, "h", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("_prior").isNull() & (F.col("id") == F.col("first_new")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
 def token_set(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
@@ -622,9 +664,12 @@ def incremental_dedup(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     storage_level: str | None = None,
+    scope: str = "new",
 ) -> DataFrame:
     """Incremental dedup of NEW docs against a prior corpus's materialized
-    signature table: ``(id, keep, cluster_id)`` — one row per new doc.
+    signature table: ``(id, keep, cluster_id)`` — one row per new doc
+    (``scope="new"``, default), or one row per doc in the UNION
+    (``scope="all"``) for callers maintaining a rolling label table.
 
     The weekly-crawl workflow the portable-hash design (module docstring)
     exists for: the prior corpus was deduped once, its signature table
@@ -646,8 +691,14 @@ def incremental_dedup(
       prior doc, or a new doc with a smaller id;
     - ``cluster_id`` = min member id of the doc's near-dup component over
       (prior cluster edges ∪ new-involving pairs) — a new doc that chains
-      two prior clusters together merges their labels in THIS output
-      (prior rows keep their stored labels until the next full re-cluster).
+      two prior clusters together merges their labels in this output.
+      With ``scope="all"`` the REFRESHED labels for prior docs ride along
+      too (the closure computes them anyway — zero extra joins): a state-
+      keeping caller (jobs/dedup_job.py) appends the full relabeling each
+      run and reads it back latest-wins, so prior labels never go stale
+      across merges. Prior rows always carry ``keep=1`` — frozen-prior
+      means a prior doc is never retro-dropped; its historical keep
+      decision lives in the run that ingested it.
 
     Equivalence to a full recompute: when new ids are all greater than
     prior ids (crawl-ordered ids) and no band bucket crosses max_bucket
@@ -765,9 +816,11 @@ def incremental_dedup(
         cluster_edges.unionByName(pairs.select("id_a", "id_b")), nodes
     )
 
-    new_ids = new_sigs.select("id")
+    # dropped only ever contains NEW ids (the drop rule above), so prior
+    # rows in scope="all" mode get keep=1 through the same left join
+    base = nodes if scope == "all" else new_sigs.select("id")
     return (
-        new_ids.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
+        base.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
         .join(labels, "id", "left")
         .select(
             "id",

@@ -1512,6 +1512,72 @@ def ensure_dedup_prior_state(spark, sf_dir) -> tuple[str, str]:
 
 
 @q(
+    "dedup_exact_incremental",
+    f"""
+    WITH thr AS (SELECT ((MAX(doc_id) + 1) * 6) // 10 AS t FROM documents),
+    nh AS (SELECT doc_id AS id, md5({_NORM_SQL}) AS h FROM documents
+           WHERE doc_id >= (SELECT t FROM thr)),
+    ph AS (SELECT DISTINCT md5({_NORM_SQL}) AS h FROM documents
+           WHERE doc_id < (SELECT t FROM thr)),
+    fn AS (SELECT h, MIN(id) AS first_new FROM nh GROUP BY h)
+    SELECT nh.id,
+           CASE WHEN ph.h IS NULL AND nh.id = fn.first_new
+                THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END AS keep
+    FROM nh JOIN fn ON fn.h = nh.h LEFT JOIN ph ON ph.h = nh.h
+    """,
+    "incremental EXACT dedup: new slice judged against the prior corpus's "
+    "materialized 33-byte/doc hash table — the cheapest dedup state; same "
+    "frozen-prior semantics as dedup_incremental",
+)
+def dedup_exact_incremental_q(spark, sf_dir):
+    from .operators.dedup import exact_hashes, incremental_exact_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
+    prior = docs.filter(F.col("doc_id") < t_split)
+    new = docs.filter(F.col("doc_id") >= t_split)
+    return incremental_exact_dedup(new, exact_hashes(prior))
+
+
+@q(
+    "stream_dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "STREAMING exact dedup: the dedup_exact group-by run as a Structured "
+    "Streaming stateful aggregation over the documents stream (availableNow, "
+    "complete mode) — exactly the batch result, proving the dedup gate can "
+    "sit on an ingest stream instead of a nightly batch",
+)
+def stream_dedup_exact_q(spark, sf_dir):
+    import os
+
+    from .operators.dedup import exact_dedup
+
+    doc_schema = t(spark, sf_dir, "documents").schema
+    safe = sf_dir.strip("/").replace("/", "_")
+    stream_dir = f"/tmp/stream_src_{safe}_documents"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    # exact_dedup is select+groupBy+agg, so the SAME operator runs on the
+    # stream — unbounded state (one row per distinct hash), which is the
+    # point: state size == output size, both linear in distinct content
+    stream = exact_dedup(spark.readStream.schema(doc_schema).parquet(stream_dir))
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_dedup_exact_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql("SELECT h, keep_id, n_dups FROM stream_dedup_exact_out")
+
+
+@q(
     "dedup_minhash_candidates",
     _minhash_cte_sql()
     + """
@@ -2724,6 +2790,8 @@ _REGISTRY_ORDER = [
     "q2_min_price_per_type",
     "w_range_30d_revenue",
     "q7_nation_volume",
+    "dedup_exact_incremental",
+    "stream_dedup_exact",
 ]
 
 

@@ -14,7 +14,10 @@ State directory (owned by this job, carried run-to-run):
     signatures/   MinHash signature table (id, toks, sig, bands) of every
                   doc ever processed — appended per run as a crash-safe
                   snapshot (sources.tables.append_snapshot), never rewritten
-    clusters/     (id, cluster_id) labels, appended per run
+    clusters/     (id, cluster_id) labels — the FULL refreshed relabeling
+                  appended per run, read back latest-wins per id, so a new
+                  doc chaining two prior clusters updates the prior
+                  members' labels too (no stale labels between runs)
 
 Outputs under --out:
     decisions/    (id, keep, cluster_id) for THIS run's docs
@@ -22,11 +25,11 @@ Outputs under --out:
 First run bootstraps: full neardup_clusters + jaccard_keep over the slice.
 Every later run hashes ONLY the new slice, band-joins it against the
 materialized union buckets (operators.dedup.incremental_dedup), and emits
-keep/drop + cluster labels for the new docs. Prior decisions are frozen
-(docs already shipped to training are never retro-dropped); a new doc that
-chains two prior clusters gets the merged label, while prior rows keep
-their stored labels until the next full re-cluster — the standard
-incremental trade documented on incremental_dedup.
+keep/drop + cluster labels. Prior decisions are frozen (docs already
+shipped to training are never retro-dropped). Both state tables auto-
+compact once they accumulate more than COMPACT_AFTER snapshots — clusters
+with keys=["id"] so latest-wins survives the rewrite and superseded label
+rows are physically dropped.
 
 Caller contract: doc_ids are unique across slices and crawl-ordered (new
 ids greater than all prior ids) — what any ingest sequence number gives.
@@ -47,6 +50,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from chapterbridge_ocr_worker_spark.conf import get_spark  # noqa: E402
+
+# compact a state table once it exceeds this many live snapshots
+COMPACT_AFTER = 4
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -74,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
     new_sigs = minhash_signatures(docs)
+    new_ids = docs.select(F.col("doc_id").alias("id"))
 
     prior_sigs = tables.read_table(spark, args.state, "signatures")
     if prior_sigs is None:
@@ -83,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         kept = jaccard_keep(docs, threshold=args.threshold).withColumn(
             "keep", F.lit(1)
         )
-        decisions = (
+        all_labels = (
             clusters.join(kept.select("id", "keep"), "id", "left")
             .select(
                 "id",
@@ -93,25 +100,42 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         mode = "incremental"
-        prior_clusters = tables.read_table(spark, args.state, "clusters")
-        decisions = incremental_dedup(
-            docs, prior_sigs, prior_clusters, threshold=args.threshold
+        prior_clusters = tables.read_table_latest(
+            spark, args.state, "clusters", keys=["id"]
+        )
+        all_labels = incremental_dedup(
+            docs, prior_sigs, prior_clusters, threshold=args.threshold,
+            scope="all",
         )
 
-    decisions = decisions.persist()
+    all_labels = all_labels.persist()
+    decisions = all_labels.join(new_ids, "id", "left_semi")
     n_new = decisions.count()  # materialize before state mutation
     n_kept = decisions.filter("keep = 1").count()
     decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions"))
 
     # commit this run's rows into the rolling state: crash-safe snapshot
-    # appends — a killed run leaves state readable at the previous commit
+    # appends — a killed run leaves state readable at the previous commit.
+    # clusters gets the FULL refreshed relabeling; the latest-wins reader
+    # above makes the newest label win per id on the next run
     tables.append_snapshot(new_sigs, args.state, "signatures")
     tables.append_snapshot(
-        decisions.select("id", "cluster_id"), args.state, "clusters"
+        all_labels.select("id", "cluster_id"), args.state, "clusters"
     )
     n_corpus = tables.read_table(spark, args.state, "signatures").count()
-    decisions.unpersist()
+    all_labels.unpersist()
     release_caches()
+
+    # small-file hygiene: weekly appends accumulate snapshots; compact once
+    # they pile up (clusters with keys so latest-wins survives the rewrite
+    # and superseded label rows are physically dropped)
+    compacted = {}
+    for tbl, keys in (("signatures", None), ("clusters", ["id"])):
+        path = tables.table_path(args.state, tbl)
+        live = tables._live_snapshots(path) or []
+        if len(live) > COMPACT_AFTER:
+            stats = tables.compact_table(spark, args.state, tbl, keys=keys)
+            compacted[tbl] = stats["snapshots_before"]
 
     print(
         json.dumps(
@@ -121,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
                 "kept": n_kept,
                 "dropped_as_dups": n_new - n_kept,
                 "corpus_total": n_corpus,
+                "compacted": compacted,
             }
         )
     )

@@ -371,6 +371,33 @@ def test_incremental_dedup_defaults_prior_singletons(spark):
     assert got[26] == (0, 25)
 
 
+def test_incremental_exact_dedup(spark):
+    """Exact-hash sibling of incremental_dedup: prior hash wins, first new
+    id wins among new dups, whitespace/case-normalized equality."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        exact_hashes,
+        incremental_exact_dedup,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique prior")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "hello world"),     # normalized dup of prior 1 -> drop
+            (11, "fresh content"),   # first of a new-dup pair -> keep
+            (12, "fresh   CONTENT"), # normalized dup of 11 -> drop
+            (13, "only here"),       # unique -> keep
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r["keep"]
+        for r in incremental_exact_dedup(new, exact_hashes(prior)).collect()
+    }
+    assert got == {10: 0, 11: 1, 12: 0, 13: 1}
+
+
 def test_lsh_recall_stable_across_permutation_families(spark):
     """LSH recall near the threshold is a random variable over the
     permutation draw (r3 scale-stress: 2.6x candidate swing at s~=0.6 on a

@@ -80,7 +80,7 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
     s1 = run(w1, str(tmp_path / "out1"))
     assert s1 == {
         "mode": "bootstrap", "docs_in": 24, "kept": 24,
-        "dropped_as_dups": 0, "corpus_total": 24,
+        "dropped_as_dups": 0, "corpus_total": 24, "compacted": {},
     }
 
     s2 = run(w2, str(tmp_path / "out2"))
@@ -93,11 +93,28 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
     }
     assert dec[24] == (0, 3) and dec[26] == (0, 25) and dec[25] == (1, 25)
     # state carries the union forward for week 3
-    sigs = spark.read.parquet(
-        *[str(p) for p in (tmp_path / "state" / "signatures").iterdir()
-          if p.is_dir()]
-    )
-    assert sigs.count() == 40
+    from chapterbridge_ocr_worker_spark.operators.dedup import neardup_clusters
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    assert tables.read_table(spark, state, "signatures").count() == 40
+    # the rolling label table (latest-wins per id) must equal a full
+    # recompute over the union — the no-stale-labels guarantee
+    state_labels = {
+        r["id"]: r["cluster_id"]
+        for r in tables.read_table_latest(
+            spark, state, "clusters", keys=["id"]
+        ).collect()
+    }
+    full_labels = {
+        r["id"]: r["cluster_id"]
+        for r in neardup_clusters(
+            spark.createDataFrame(
+                [(i, texts[i]) for i in range(40)], ["doc_id", "text"]
+            ),
+            threshold=0.6,
+        ).collect()
+    }
+    assert state_labels == full_labels
 
 
 def test_curate_job_cli(spark, tmp_path):
