@@ -178,3 +178,58 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(edges, nodes).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup == full recompute on random dup-heavy corpora
+# ---------------------------------------------------------------------------
+
+# texts drawn from a 6-word pool of 5-word sentences: heavy overlap, so the
+# jaccard graph is dense and chains/merges across the split boundary happen
+_texts_strategy = st.lists(
+    st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+             min_size=3, max_size=6).map(" ".join),
+    min_size=4,
+    max_size=14,
+)
+
+
+@given(_texts_strategy, st.integers(1, 12))
+@settings(max_examples=6, deadline=None)  # each example runs two pipelines
+def test_incremental_dedup_matches_full_on_random_corpora(spark, texts, cut):
+    """The documented equivalence regime, pinned property-style: for ANY
+    corpus with crawl-ordered ids (caps never reached at this size), the
+    incremental keep set and cluster labels for the new slice equal the
+    full-union recompute. The dense tiny-vocab corpora drive chained
+    merges across the split boundary — the hard case."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        jaccard_keep,
+        minhash_signatures,
+        neardup_clusters,
+    )
+
+    cut = min(cut, len(texts) - 1)
+    if cut < 1:
+        return
+    rows = [(i, t) for i, t in enumerate(texts)]
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    prior = all_docs.filter(f"doc_id < {cut}")
+    new = all_docs.filter(f"doc_id >= {cut}")
+
+    inc = {
+        r["id"]: (r["keep"], r["cluster_id"])
+        for r in incremental_dedup(
+            new, minhash_signatures(prior), neardup_clusters(prior, 0.6),
+            threshold=0.6,
+        ).collect()
+    }
+    full_keep = {r["id"] for r in jaccard_keep(all_docs, 0.6).collect()}
+    full_labels = {
+        r["id"]: r["cluster_id"]
+        for r in neardup_clusters(all_docs, 0.6).collect()
+    }
+    assert set(inc) == {i for i, _ in rows if i >= cut}
+    for i, (keep, label) in inc.items():
+        assert (keep == 1) == (i in full_keep), (i, texts, cut)
+        assert label == full_labels[i], (i, texts, cut)
