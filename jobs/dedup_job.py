@@ -79,10 +79,42 @@ def main(argv: list[str] | None = None) -> int:
     from chapterbridge_ocr_worker_spark.sources import tables
 
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
+
+    # RESUME anti-join (the extraction pipeline's skip rule, applied to
+    # dedup state): docs whose ids are already in the signature table were
+    # committed by a previous run — a rerun of the same slice (crash
+    # recovery, accidental resubmit) must not re-append their signatures,
+    # which would double bucket counts and skew every later cap decision.
+    n_in = docs.count()
+    prior_sigs = tables.read_table(spark, args.state, "signatures")
+    if prior_sigs is not None:
+        docs = docs.join(
+            prior_sigs.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        )
+    n_skipped = n_in - docs.count()
+
+    if prior_sigs is not None and n_skipped == n_in:
+        # full rerun of an already-committed slice: answer from state,
+        # mutate nothing (idempotent recovery path)
+        print(
+            json.dumps(
+                {
+                    "mode": "resume-noop",
+                    "docs_in": 0,
+                    "skipped_done": n_skipped,
+                    "kept": 0,
+                    "dropped_as_dups": 0,
+                    "corpus_total": prior_sigs.count(),
+                    "compacted": {},
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
     new_sigs = minhash_signatures(docs)
     new_ids = docs.select(F.col("doc_id").alias("id"))
 
-    prior_sigs = tables.read_table(spark, args.state, "signatures")
     if prior_sigs is None:
         # bootstrap: full dedup of the first slice
         mode = "bootstrap"
@@ -142,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "mode": mode,
                 "docs_in": n_new,
+                "skipped_done": n_skipped,
                 "kept": n_kept,
                 "dropped_as_dups": n_new - n_kept,
                 "corpus_total": n_corpus,

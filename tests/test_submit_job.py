@@ -79,7 +79,7 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
 
     s1 = run(w1, str(tmp_path / "out1"))
     assert s1 == {
-        "mode": "bootstrap", "docs_in": 24, "kept": 24,
+        "mode": "bootstrap", "docs_in": 24, "skipped_done": 0, "kept": 24,
         "dropped_as_dups": 0, "corpus_total": 24, "compacted": {},
     }
 
@@ -87,6 +87,12 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
     assert s2["mode"] == "incremental"
     assert s2["docs_in"] == 16 and s2["corpus_total"] == 40
     assert s2["dropped_as_dups"] == 2  # 24 (dup of prior 3), 26 (dup of 25)
+
+    # rerunning the committed slice is a no-op: state untouched, no
+    # duplicate signature rows to skew later bucket counts
+    s2b = run(w2, str(tmp_path / "out2b"))
+    assert s2b["mode"] == "resume-noop"
+    assert s2b["skipped_done"] == 16 and s2b["corpus_total"] == 40
     dec = {
         r["id"]: (r["keep"], r["cluster_id"])
         for r in spark.read.parquet(str(tmp_path / "out2" / "decisions")).collect()
