@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "dedup_jaccard_keep",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_exact_incremental",
+    "stream_dedup_exact",
     "emb_cosine_neardup",
     "emb_ivf_topk",
     "f13_output_docs",
