@@ -233,31 +233,49 @@ def ivf_topk(
     FIRST index of the max rounded score; probe order is (score desc,
     index asc); final rank is (cos desc, neighbor_id asc).
     """
-    cent_rows = (
+    cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
+    corp = _assign_cells(corpus, cent_arr, id_col, vec_col)
+    return _probe_and_rank(corp, queries, cent_arr, len(cent_rows), k, nprobe,
+                           id_col, vec_col)
+
+
+def _sample_centroids(corpus, n_centroids, id_col, vec_col):
+    """The deterministic pseudo-random sample (Knuth multiplicative hash
+    min-n rows) — n rows to the driver, broadcast-equivalent."""
+    return (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .withColumn("h", (F.col("cid") * F.lit(2654435761)) % F.lit(2147483647))
         .orderBy("h", "cid")
         .limit(n_centroids)
         .collect()
     )
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in r["cvec"]])
-            for r in cent_rows
-        ]
+
+
+def _centroid_literal(vecs) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]
     )
 
-    def cell_scores(vec: Column) -> Column:
-        # rounded to 4dp BEFORE the argmax/probe ordering so engine float
-        # noise can't flip assignments between Spark and the SQL twin
-        return F.transform(cent_arr, lambda c: F.round(cosine(vec, c), 4))
 
-    corp = (
+def _cell_scores(cent_arr: Column, vec: Column) -> Column:
+    # rounded to 4dp BEFORE the argmax/probe ordering so engine float
+    # noise can't flip assignments between Spark and the SQL twin
+    return F.transform(cent_arr, lambda c: F.round(cosine(vec, c), 4))
+
+
+def _assign_cells(corpus, cent_arr, id_col, vec_col) -> DataFrame:
+    """(neighbor_id, cvec, bucket) — one narrow cell id per corpus row."""
+    return (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("sc", cell_scores(F.col("cvec")))
+        .withColumn("sc", _cell_scores(cent_arr, F.col("cvec")))
         .withColumn("bucket", F.array_position(F.col("sc"), F.array_max("sc")))
         .drop("sc")
     )
+
+
+def _probe_and_rank(corp, queries, cent_arr, n_centroids, k, nprobe,
+                    id_col, vec_col) -> DataFrame:
     qsc = F.transform(
         F.sequence(F.lit(1), F.lit(n_centroids)),
         lambda i: F.struct(
@@ -266,7 +284,7 @@ def ivf_topk(
     )
     qs = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .withColumn("sc", cell_scores(F.col("qvec")))
+        .withColumn("sc", _cell_scores(cent_arr, F.col("qvec")))
         .withColumn(
             "bucket",
             F.explode(
@@ -294,6 +312,84 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: ``centroids`` (bucket, cvec) and
+    ``assignments`` (neighbor_id, cvec, bucket) tables under index_path.
+
+    The similarity-search sibling of dedup.materialize_signatures: at
+    100 TB the cell assignment of the corpus is the expensive pass, and it
+    should be paid ONCE, not per query batch. Queries then probe the
+    parquet assignments table (ivf_query_index), and next week's embedding
+    batch joins the index via ivf_append_index — assigned to the EXISTING
+    centroids, no recluster, one snapshot append. Centroid drift under
+    sustained appends is the standard IVF maintenance trade: rebuild when
+    cell-size skew degrades probe recall."""
+    from ..sources.tables import append_snapshot, write_table
+
+    spark = corpus.sparkSession
+    cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)],
+        "bucket: long, cvec: array<double>",
+    )
+    write_table(cent_df, index_path, "centroids")
+    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
+    append_snapshot(
+        _assign_cells(corpus, cent_arr, id_col, vec_col), index_path, "assignments"
+    )
+
+
+def _load_centroids(spark, index_path: str):
+    from ..sources.tables import read_table
+
+    rows = read_table(spark, index_path, "centroids").orderBy("bucket").collect()
+    return _centroid_literal([r["cvec"] for r in rows]), len(rows)
+
+
+def ivf_append_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow the index with a new embedding batch: assign to the EXISTING
+    centroids, snapshot-append the assignments (crash-safe; readers union
+    live snapshots). No prior row is touched or recomputed."""
+    from ..sources.tables import append_snapshot
+
+    cent_arr, _ = _load_centroids(new_vectors.sparkSession, index_path)
+    append_snapshot(
+        _assign_cells(new_vectors, cent_arr, id_col, vec_col),
+        index_path,
+        "assignments",
+    )
+
+
+def ivf_query_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN against a MATERIALIZED IVF index: the corpus side is a
+    plain parquet scan of the assignments table (bucket pushdown-able),
+    centroids are a <=n_centroids-row collect (broadcast-equivalent)."""
+    from ..sources.tables import read_table
+
+    cent_arr, n = _load_centroids(spark, index_path)
+    corp = read_table(spark, index_path, "assignments")
+    return _probe_and_rank(corp, queries, cent_arr, n, k, nprobe, id_col, vec_col)
 
 
 def cosine_neardup_pairs(

@@ -1713,9 +1713,7 @@ def emb_ann_q(spark, sf_dir):
     )
 
 
-@q(
-    "emb_ivf_topk",
-    """
+_IVF_SQL = """
     WITH c AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (vec_id * 2654435761) % 2147483647 AS h
@@ -1759,7 +1757,12 @@ def emb_ann_q(spark, sf_dir):
     )
     SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos_r, rank
     FROM ranked WHERE rank <= 10
-    """,
+    """
+
+
+@q(
+    "emb_ivf_topk",
+    _IVF_SQL,
     "IVF-style ANN: deterministic sampled centroids (portable multiplicative "
     "hash), cell assignment per corpus row, nprobe=4 nearest cells probed "
     "per query, exact cosine re-rank — fully recomputed by the SQL twin",
@@ -1770,6 +1773,47 @@ def emb_ivf_q(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, n_centroids=16, nprobe=4
+    )
+
+
+def ensure_ivf_index(spark, sf_dir) -> str:
+    """Build-once materialized IVF index for the indexed ANN query, keyed
+    to the embeddings table's identity (build cost belongs to the indexing
+    run, not the query; bench.py prebuilds it outside timing). Staging +
+    rename commit, same as ensure_dedup_prior_state."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.similarity import ivf_build_index
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/ivf_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    if not os.path.isdir(os.path.join(base, "assignments")):
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        ivf_build_index(t(spark, sf_dir, "embeddings"), staging, n_centroids=16)
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return base
+
+
+@q(
+    "emb_ivf_indexed",
+    _IVF_SQL,
+    "ANN against a MATERIALIZED IVF index (centroids + cell-assignment "
+    "parquet tables built once, snapshot-appendable for new embedding "
+    "batches): the corpus side of every query batch is a plain parquet "
+    "scan — must produce byte-identical results to the inline emb_ivf_topk "
+    "pipeline, and the shared SQL twin pins exactly that",
+)
+def emb_ivf_indexed_q(spark, sf_dir):
+    from .operators.similarity import ivf_query_index
+
+    idx = ensure_ivf_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_query_index(
+        spark, idx, emb.filter(F.col("vec_id") % 100 == 0), k=10, nprobe=4
     )
 
 
@@ -2792,6 +2836,7 @@ _REGISTRY_ORDER = [
     "q7_nation_volume",
     "dedup_exact_incremental",
     "stream_dedup_exact",
+    "emb_ivf_indexed",
 ]
 
 

@@ -604,6 +604,64 @@ def test_ivf_topk_clustered_corpus(spark):
     assert approx == exact
 
 
+def test_ivf_index_build_append_query(spark, tmp_path):
+    """Materialized IVF index lifecycle: build on the first embedding
+    batch, snapshot-append a second batch (assigned to the EXISTING
+    centroids, no recluster), and queries must find exact-duplicate
+    neighbors from BOTH batches. The full-build query path must also equal
+    the inline ivf_topk pipeline exactly (shared centroid rule)."""
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+
+    def vec(seed=None):
+        r = random.Random(seed) if seed is not None else rng
+        return [round(r.uniform(-1, 1), 3) for _ in range(dim)]
+
+    batch1 = [(i, vec()) for i in range(40)]
+    # batch-2 vectors 100/101 duplicate batch-1 vectors 7/23 exactly
+    batch2 = [(100, batch1[7][1]), (101, batch1[23][1])] + [
+        (110 + i, vec()) for i in range(20)
+    ]
+    schema = "vec_id: long, embedding: array<float>"
+    b1 = spark.createDataFrame(batch1, schema)
+    b2 = spark.createDataFrame(batch2, schema)
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(b1, idx, n_centroids=4)
+    ivf_append_index(b2, idx)
+
+    queries = spark.createDataFrame([(7, batch1[7][1]), (100, batch1[7][1])], schema)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_query_index(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+    # an exact duplicate is always in the same cell -> rank-1 neighbor
+    assert got[(7, 1)] == 100   # batch-1 query finds its batch-2 clone
+    assert got[(100, 1)] == 7   # and vice versa
+
+    # full-build equality with the inline pipeline (same centroid sample)
+    allv = b1.unionByName(b2)
+    idx2 = str(tmp_path / "ivf_full")
+    ivf_build_index(allv, idx2, n_centroids=4)
+    qs = allv.filter("vec_id % 10 = 0")
+    via_index = {
+        tuple(r) for r in ivf_query_index(spark, idx2, qs, k=5, nprobe=2).collect()
+    }
+    inline = {
+        tuple(r) for r in ivf_topk(allv, qs, k=5, n_centroids=4, nprobe=2).collect()
+    }
+    assert via_index == inline
+
+
 def test_cosine_neardup_cap_drops_degenerate_bucket(spark):
     from pyspark.sql import Row
 
