@@ -225,6 +225,28 @@ def test_ann_and_neardup_plan_hygiene(spark):
     release_caches()
 
 
+def test_ivf_indexed_plan_scans_table(spark, tmp_path):
+    """Indexed IVF: the corpus side of a query batch must be a plain
+    FileScan of the materialized assignments table — no per-row centroid
+    re-scoring of the corpus (the 16-way cosine transform must appear for
+    the QUERY side only), probes broadcast, no cartesian."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=8)
+    out = ivf_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5, nprobe=2)
+    plan = pi.formatted(out)
+    assert "Scan parquet" in plan and "CartesianProduct" not in plan
+    assert pi.count_broadcast_joins(out) >= 1
+    # corpus assignment happened at build time: exactly one transform over
+    # the centroid literal (the query-side probe scoring), not two
+    assert plan.count("transform(") <= plan.count("BroadcastExchange") + 1
+
+
 def test_ivf_plan_broadcasts_probes(spark):
     """IVF ANN: cell assignment is a per-row projection (no corpus
     self-join), probes broadcast to the corpus side."""
