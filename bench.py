@@ -190,6 +190,21 @@ def main() -> None:
             extra["extract_docs_per_sec"] = round(n / best, 2) if best > 0 else 0.0
         release_caches()
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # diagnostics line FIRST (medians/cold/steal are bulky); the recorder
+    # keeps the stdout TAIL, and r4's capture lost the headline best-times
+    # when this grew — so the compact headline JSON is printed LAST and is
+    # small enough (~1 KB) that tail-truncation can never eat it
+    print(
+        json.dumps(
+            {
+                "detail": "per-run diagnostics (headline JSON is the last line)",
+                "median_queries": medians,
+                "cold_queries": cold,
+                "steal_frac": steal_fracs,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -197,11 +212,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "median_queries": medians,
-                "cold_queries": cold,
-                "steal_frac": steal_fracs,
                 "contaminated": contaminated,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "cpus": cpus,
                 **extra,
             }

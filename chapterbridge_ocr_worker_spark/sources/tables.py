@@ -107,6 +107,44 @@ def _list_snapshot_dirs(path: str) -> list[str]:
     )
 
 
+def _adopt_legacy_files(path: str) -> str | None:
+    """Fold top-level parquet files (pre-manifest plain layout, e.g. a
+    write_table output later appended to) into a synthetic snapshot dir so
+    their rows stay visible to manifest readers — without this, adoption
+    listed subdirs only and the legacy rows existed in NO snapshot: readers
+    silently dropped them and compaction's GC deleted them unrecoverably.
+
+    Must be called while holding _manifest_lock. Returns the synthetic
+    snapshot name (caller registers it FIRST in the manifest — legacy rows
+    predate every append, so latest-wins must treat them as oldest), or
+    None when there is nothing to adopt."""
+    files = [
+        f
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+        and (f.endswith(".parquet") or f == "_SUCCESS")
+    ]
+    if not any(f.endswith(".parquet") for f in files):
+        return None
+    snap_name = f"snap-{int(time.time() * 1000)}-legacy00"
+    snap = os.path.join(path, snap_name)
+    os.makedirs(snap, exist_ok=True)
+    for f in files:
+        os.rename(os.path.join(path, f), os.path.join(snap, f))
+    return snap_name
+
+
+def _snapshot_order(path: str) -> list[str]:
+    """Snapshot names in COMMIT order — the manifest's append order, which
+    is what latest-wins must rank by. Two snapshots committed in the same
+    millisecond would tie-break on random hex under a name sort; the
+    manifest list position is the true commit sequence. Tables without a
+    manifest fall back to the sorted listing (name order ~ commit order,
+    best available)."""
+    live = _live_snapshots(path)
+    return live if live is not None else _list_snapshot_dirs(path)
+
+
 def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> str:
     path = table_path(root, name)
     df.write.mode(mode).parquet(path)
@@ -135,6 +173,12 @@ def append_snapshot(df: DataFrame, root: str, name: str) -> str:
         if m is None:  # adopt whatever legacy listing readers were seeing
             live = _list_snapshot_dirs(path)
             extra = {}
+            # fold loose top-level parquet (plain write_table layout) into a
+            # synthetic OLDEST snapshot — otherwise those rows are in no
+            # snapshot and vanish from every manifest reader
+            legacy = _adopt_legacy_files(path)
+            if legacy is not None:
+                live = [legacy] + live
         else:
             live = m["snapshots"]
             extra = {k: v for k, v in m.items() if k != "snapshots"}
@@ -204,13 +248,23 @@ def read_table_latest(
                 "Compact with compact_table(..., keys=...) to preserve "
                 "latest-wins semantics."
             )
-    snap = F.regexp_extract(F.input_file_name(), r"/(snap-\d+-[0-9a-f]+)/", 1)
-    latest = F.max("_snap").over(Window.partitionBy(*keys))
+    # rank snapshots by COMMIT order (manifest list position), not by name:
+    # same-millisecond commits would otherwise tie-break on the random hex
+    # suffix and latest-wins could pick the older commit nondeterministically
+    order = _snapshot_order(table_path(root, name))
+    ordinal = F.create_map(
+        *[x for i, s in enumerate(order) for x in (F.lit(s), F.lit(i))]
+    )
+    snap = F.regexp_extract(F.input_file_name(), r"/(snap-\d+-[0-9a-z]+)/", 1)
+    # rows outside any known snapshot (shouldn't happen post-adoption) rank
+    # oldest rather than erroring
+    ord_col = F.coalesce(ordinal[snap], F.lit(-1))
+    latest = F.max("_snap_ord").over(Window.partitionBy(*keys))
     return (
-        df.withColumn("_snap", snap)
-        .withColumn("_latest", F.col("_snap") == latest)
+        df.withColumn("_snap_ord", ord_col)
+        .withColumn("_latest", F.col("_snap_ord") == latest)
         .filter(F.col("_latest"))
-        .drop("_snap", "_latest")
+        .drop("_snap_ord", "_latest")
     )
 
 
@@ -255,9 +309,29 @@ def compact_table(
 
     path = table_path(root, name)
     empty = {"files_before": 0, "files_after": 0, "snapshots_before": 0,
-             "legacy_files_removed": 0}
+             "legacy_files_adopted": 0}
     if not os.path.isdir(path):
         return empty
+    # fold any loose top-level parquet (mixed legacy layout this module's
+    # older versions left behind) into a synthetic OLDEST snapshot before
+    # reading, so the rewrite includes those rows instead of the GC deleting
+    # data that existed in no snapshot
+    legacy_adopted = 0
+    with _manifest_lock(path):
+        m = _read_manifest(path)
+        legacy = _adopt_legacy_files(path)
+        if legacy is not None:
+            legacy_adopted = sum(
+                1 for f in os.listdir(os.path.join(path, legacy))
+                if f.endswith(".parquet")
+            )
+            if m is not None:
+                extra = {k: v for k, v in m.items() if k != "snapshots"}
+                snaps, extra = m["snapshots"], extra
+            else:  # manifest-less mixed layout: adopt the listing too
+                snaps = [d for d in _list_snapshot_dirs(path) if d != legacy]
+                extra = {}
+            _write_manifest(path, [legacy] + snaps, **extra)
     live = _live_snapshots(path)
     if live is None:
         live = _list_snapshot_dirs(path)
@@ -294,11 +368,20 @@ def compact_table(
         _write_manifest(
             path, [snap_name] + late, compacted={"keys": keys}
         )
-    # everything not in the manifest is dead: the old live dirs plus any
-    # orphans a previously crashed append/compaction left behind
-    for d in _list_snapshot_dirs(path):
-        if d != snap_name and d not in late:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        # freeze the dead list WHILE holding the lock: an appender blocked
+        # on the lock right now will rename+commit its snapshot the moment
+        # we release — its dir is still dot-prefixed (invisible to the
+        # listing) at this instant, so it can never land in `dead`.
+        # Deleting a post-release listing instead would race exactly that
+        # commit and rmtree a manifest-referenced directory.
+        dead = [
+            d for d in _list_snapshot_dirs(path)
+            if d != snap_name and d not in late
+        ]
+    # everything frozen above is dead: the old live dirs plus any orphans a
+    # previously crashed append/compaction left behind
+    for d in dead:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     # dotted in-flight dirs belong to LIVE concurrent appenders — GC only
     # stale ones (a crashed writer's abandoned data; 1 h is far beyond any
     # single snapshot write)
@@ -307,21 +390,11 @@ def compact_table(
         if d.startswith(".inflight-") and os.path.isdir(dp):
             if time.time() - os.path.getmtime(dp) > 3600:
                 shutil.rmtree(dp, ignore_errors=True)
-    # legacy top-level parquet files (pre-manifest plain layout) are
-    # invisible to manifest readers but were never garbage-collected —
-    # their rows are in the compacted snapshot now (when they were the
-    # visible data) or were superseded long ago; either way, dead weight
-    legacy = 0
-    for f in os.listdir(path):
-        fp = os.path.join(path, f)
-        if os.path.isfile(fp) and (f.endswith(".parquet") or f == "_SUCCESS"):
-            os.remove(fp)
-            legacy += 1
     return {
         "files_before": files_before,
         "files_after": n_files([new_snap]),
         "snapshots_before": len(old_snaps),
-        "legacy_files_removed": legacy,
+        "legacy_files_adopted": legacy_adopted,
     }
 
 

@@ -60,7 +60,13 @@ def session_counts_append(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a mid-flight availableNow batch would make the parquet read
+        # below silently partial — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_s}s"
+        )
     return spark.read.parquet(out_dir)
 
 
@@ -96,5 +102,11 @@ def hourly_agg_append(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a mid-flight availableNow batch would make the parquet read
+        # below silently partial — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_s}s"
+        )
     return spark.read.parquet(out_dir)

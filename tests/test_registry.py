@@ -28,6 +28,7 @@ DRIVER_WINDOW = [
     "emb_ann_lsh",
     "emb_cosine_neardup",
     "emb_ivf_topk",
+    "emb_ivf_indexed",
     "emb_cosine_topk",
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -35,14 +36,14 @@ DRIVER_WINDOW = [
     "dedup_jaccard_keep",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_exact_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "text_token_count",
     "text_token_count_bpe",
     "text_quality",
     "text_lang_id",
-    "text_fingerprint",
     "text_ngram5_distinct",
+    "stream_dedup_exact",
     "stream_hourly_agg",
     "stream_hourly_append",
     "stream_session_windows",
@@ -55,8 +56,7 @@ DRIVER_WINDOW = [
     "w5_sessionize",
     "asof_last_view_before_purchase",
     "rollup_revenue",
-    "pivot_status_by_priority",
-    "cube_order_counts",
+    "q7_nation_volume",
     "d4_except_custkeys",
     "d3_union_dedup",
     "salted_group_stats",

@@ -256,10 +256,11 @@ def test_compact_handles_missing_snapshot_dirs(spark, tmp_path):
     assert stats["files_after"] == 0
 
 
-def test_compact_collects_legacy_toplevel_files(spark, tmp_path):
-    """A plain-parquet table adopted into the snapshot layout keeps its old
-    top-level files forever (invisible to manifest readers, doubling
-    storage); compaction folds their rows in and deletes them."""
+def test_append_adopts_legacy_toplevel_files(spark, tmp_path):
+    """A plain-parquet table (write_table) later appended to: adoption must
+    fold the top-level files into a snapshot so their rows STAY VISIBLE —
+    the old subdir-only adoption stranded them in no snapshot (readers
+    silently dropped them and compaction deleted them unrecoverably)."""
     import os
 
     root = str(tmp_path)
@@ -270,16 +271,83 @@ def test_compact_collects_legacy_toplevel_files(spark, tmp_path):
     )
     assert any(f.endswith(".parquet") for f in os.listdir(path))
     tables.append_snapshot(spark.createDataFrame([(3, "c")], ["id", "v"]), root, "t")
-    # legacy top-level rows invisible once snapshot dirs exist (pre-existing
-    # fallback-reader behavior) -> compaction sees 1 row, GCs the dead files
-    stats = tables.compact_table(spark, root, "t", target_files=1)
-    assert stats["legacy_files_removed"] >= 1
+    # no loose top-level parquet remains, and ALL rows survive adoption
     assert not any(
         f.endswith(".parquet")
         for f in os.listdir(path)
         if os.path.isfile(os.path.join(path, f))
     )
-    assert tables.read_table(spark, root, "t").count() == 1
+    assert tables.read_table(spark, root, "t").count() == 3
+    # legacy rows rank OLDEST under latest-wins: an appended update beats
+    # the pre-adoption row for the same key
+    tables.append_snapshot(
+        spark.createDataFrame([(1, "new")], ["id", "v"]), root, "t"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in tables.read_table_latest(spark, root, "t", keys=["id"]).collect()
+    }
+    assert got == {1: "new", 2: "b", 3: "c"}
+    # compaction preserves everything (no data-deleting legacy GC)
+    stats = tables.compact_table(spark, root, "t", target_files=1, keys=["id"])
+    assert stats["legacy_files_adopted"] == 0  # adopted at append time
+    got2 = {
+        r["id"]: r["v"]
+        for r in tables.read_table_latest(spark, root, "t", keys=["id"]).collect()
+    }
+    assert got2 == got
+
+
+def test_compact_adopts_legacy_toplevel_files(spark, tmp_path):
+    """Mixed layout left by OLDER code (manifest exists, loose top-level
+    parquet invisible to it): compaction folds the stranded rows into the
+    rewrite instead of deleting them (ADVICE r4)."""
+    import json
+    import os
+
+    root = str(tmp_path)
+    tables.append_snapshot(spark.createDataFrame([(3, "c")], ["id", "v"]), root, "t")
+    path = tables.table_path(root, "t")
+    # simulate the old bug: loose parquet at top level, not in any snapshot
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    # (the append above must not have touched the manifest)
+    m = json.load(open(os.path.join(path, "_live_snapshots.json")))
+    assert len(m["snapshots"]) == 1
+    assert tables.read_table(spark, root, "t").count() == 1  # rows stranded
+    stats = tables.compact_table(spark, root, "t", target_files=1)
+    assert stats["legacy_files_adopted"] >= 1
+    assert tables.read_table(spark, root, "t").count() == 3  # recovered
+    assert not any(
+        f.endswith(".parquet")
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+    )
+
+
+def test_read_table_latest_same_millisecond_commits(spark, tmp_path):
+    """Two snapshots committed in the same millisecond: latest-wins must
+    rank by manifest APPEND ORDER, not by the name string (whose random hex
+    suffix would tie-break nondeterministically) (ADVICE r4)."""
+    import json
+    import os
+
+    root = str(tmp_path)
+    path = tables.table_path(root, "t")
+    # hex chosen so the NEWER commit sorts lexically SMALLER: a string-max
+    # tie-break would resurrect the older row
+    older, newer = "snap-1000-ffffffff", "snap-1000-aaaaaaaa"
+    spark.createDataFrame([(1, "old")], ["id", "v"]).coalesce(1).write.parquet(
+        os.path.join(path, older)
+    )
+    spark.createDataFrame([(1, "new")], ["id", "v"]).coalesce(1).write.parquet(
+        os.path.join(path, newer)
+    )
+    with open(os.path.join(path, "_live_snapshots.json"), "w") as f:
+        json.dump({"snapshots": [older, newer]}, f)
+    got = tables.read_table_latest(spark, root, "t", keys=["id"]).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "new")]
 
 
 def test_operator_cache_release(spark, tmp_path):
