@@ -269,6 +269,41 @@ def read_signatures(spark, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path)
 
 
+def bucket_rows(sigs: DataFrame) -> DataFrame:
+    """``(id, bh)`` — the exploded band-bucket rows of a signature table.
+    16 bytes/row; THE table an incremental run band-joins new docs against,
+    so the wide signature table never re-explodes per weekly run."""
+    return sigs.select("id", F.explode("bands").alias("bh"))
+
+
+def bucket_count_rows(buckets: DataFrame) -> DataFrame:
+    """``(bh, n)`` — per-bucket population, pre-aggregated. The union-wide
+    degeneracy caps of an incremental run come from this narrow table plus
+    the new slice's deltas — the r4 verdict's last prior-corpus-sized scan
+    in the weekly path, now a trivially incrementable aggregate."""
+    return buckets.groupBy("bh").agg(F.count("*").alias("n"))
+
+
+def materialize_bucket_state(
+    sigs: DataFrame, table_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write the bucket rows and bucket counts of a signature table next to
+    it (``{path}_buckets``, ``{path}_bucket_counts``) and return fresh
+    scans of both. A state-keeping pipeline (jobs/dedup_job.py) appends
+    per-run deltas to the same two tables instead."""
+    import os
+
+    from ..sources.tables import write_table
+
+    root, name = os.path.split(table_path.rstrip("/"))
+    b = bucket_rows(sigs)
+    write_table(b, root or ".", f"{name}_buckets")
+    spark = sigs.sparkSession
+    bt = spark.read.parquet(f"{table_path}_buckets")
+    write_table(bucket_count_rows(bt), root or ".", f"{name}_bucket_counts")
+    return bt, spark.read.parquet(f"{table_path}_bucket_counts")
+
+
 def _sig_source(
     df: DataFrame,
     text_col: str,
@@ -507,6 +542,7 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "id",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list: ``(id,
     cluster_id)`` where ``cluster_id`` is the MIN node id in the component.
@@ -570,6 +606,7 @@ def connected_components(
 
     labels = labels.localCheckpoint(eager=False)
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
         jumped = _cc_round(labels, sym)
         # LAZY checkpoint: the convergence count below is the action that
@@ -580,8 +617,16 @@ def connected_components(
         )
         changed = new_labels.filter("moved").count()
         labels = new_labels.drop("moved")
+        rounds += 1
         if changed == 0:
             break
+    if stats is not None:
+        # convergence telemetry for long-running state-keeping jobs: a
+        # 100-TB operator watches rounds drift (graph diameter growing /
+        # adversarial chaining) long before max_iter exhaustion bites
+        stats["cc_rounds"] = rounds
+        stats["cc_converged"] = changed == 0
+        stats["cc_last_moved"] = changed
     if changed != 0:
         # exhausting max_iter means labels may still be mid-propagation —
         # deduping on them would silently merge/split wrong clusters, so the
@@ -635,6 +680,7 @@ def neardup_clusters(
     max_bucket: int = 256,
     storage_level: str | None = None,
     table_path: str | None = None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS: every doc labeled with the min doc_id of its
     near-dup connected component (jaccard_pairs_lsh edge semantics).
@@ -651,7 +697,7 @@ def neardup_clusters(
         table_path,
     ).select("id_a", "id_b")
     nodes = df.select(F.col(id_col).alias("id"))
-    return connected_components(pairs, nodes)
+    return connected_components(pairs, nodes, stats=cc_stats)
 
 
 def incremental_dedup(
@@ -665,6 +711,9 @@ def incremental_dedup(
     max_bucket: int = 256,
     storage_level: str | None = None,
     scope: str = "new",
+    prior_buckets: DataFrame | None = None,
+    prior_bucket_counts: DataFrame | None = None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """Incremental dedup of NEW docs against a prior corpus's materialized
     signature table: ``(id, keep, cluster_id)`` — one row per new doc
@@ -708,34 +757,67 @@ def incremental_dedup(
     that outgrows the cap only in the union makes the incremental run see
     strictly fewer union pairs — same direction the full recompute moves.
 
-    Scale shape: new-side rows drive every join (a week's crawl vs the
-    corpus: |new| << |prior|); the only prior-sized work is the bucket
-    count (groupBy on the exploded (id, bucket) pairs — narrow rows,
-    uniform key) and the final label propagation over the linear cluster
-    edge list. No prior signature is recomputed, no prior pair re-scored.
+    Scale shape — with ``prior_buckets`` + ``prior_bucket_counts`` (the
+    materialized bucket state, see materialize_bucket_state / the dedup
+    job) the weekly run is fully |new|-sized: new-side rows drive every
+    join (a week's crawl vs the corpus: |new| << |prior|), union-wide caps
+    come from the pre-aggregated (bh, n) table plus the new slice's
+    deltas, the prior band rows enter via a semi-join on the (small) set
+    of buckets the new slice touches — prunable to a partition-pruned /
+    DPP read of the narrow (id, bh) table at scale — and the label
+    closure runs over the FRONTIER only (components a new-involving pair
+    touches; untouched prior components pass their labels through
+    unchanged). No prior signature is recomputed, no prior pair re-scored,
+    no corpus-sized explode or closure remains. Without the bucket-state
+    tables both are derived from prior_sigs (one linear narrow pass each
+    — the r4 shape, still correct, kept for table-less callers).
     """
     new_sigs = persist_tracked(
         minhash_signatures(new_docs, text_col, id_col), storage_level
     )
+    # attach-only union: band rows are derived separately below, so the
+    # persisted union never carries the bands column (narrower barrier AND
+    # a bands-free prior-table scan — the plan pin checks the ReadSchema)
     allsigs = persist_tracked(
-        prior_sigs.select("id", "toks", "sig", "bands")
+        prior_sigs.select("id", "toks", "sig")
         .withColumn("is_new", F.lit(False))
         .unionByName(
-            new_sigs.select("id", "toks", "sig", "bands").withColumn(
+            new_sigs.select("id", "toks", "sig").withColumn(
                 "is_new", F.lit(True)
             )
         ),
         storage_level,
     )
 
-    # band explode over the union; caps are UNION-wide (a bucket's
-    # degeneracy is a property of the whole corpus, not of one slice)
-    e = allsigs.select("id", "is_new", F.explode("bands").alias("bh"))
+    # band rows: new slice explodes its (persisted) signatures; the prior
+    # side comes from the materialized narrow (id, bh) table when given —
+    # the wide prior signature table never re-explodes
+    new_e = new_sigs.select("id", F.explode("bands").alias("bh"))
+    if prior_buckets is None:
+        prior_e = prior_sigs.select("id", F.explode("bands").alias("bh"))
+    else:
+        prior_e = prior_buckets.select("id", "bh")
+    # caps are UNION-wide (a bucket's degeneracy is a property of the whole
+    # corpus, not of one slice): prior counts from the pre-aggregated table
+    # (or one narrow pass when absent) + the new slice's deltas
+    if prior_bucket_counts is None:
+        prior_n = prior_e.groupBy("bh").agg(F.count("*").alias("n"))
+    else:
+        prior_n = prior_bucket_counts.select("bh", "n")
+    new_n = new_e.groupBy("bh").agg(F.count("*").alias("n"))
     kept = (
-        e.groupBy("bh")
-        .agg(F.count("*").alias("bucket_n"))
+        prior_n.unionByName(new_n)
+        .groupBy("bh")
+        .agg(F.sum("n").alias("bucket_n"))
         .filter(F.col("bucket_n") <= max_bucket)
         .select("bh")
+    )
+    # prior rows matter only in buckets the new slice touches (candidates
+    # need a new side) — at 100 TB this semi-join is what lets the (id, bh)
+    # table read be pruned instead of scanned
+    prior_rel = prior_e.join(new_e.select("bh").distinct(), "bh", "left_semi")
+    e = prior_rel.withColumn("is_new", F.lit(False)).unionByName(
+        new_e.withColumn("is_new", F.lit(True))
     )
     e = e.join(kept, "bh", "left_semi")
     # candidates: one side NEW, other side anything — the prior-vs-prior
@@ -790,6 +872,11 @@ def incremental_dedup(
         storage_level,
     )
 
+    if cc_stats is not None:
+        # pairs is persisted above, so this extra action is one cheap pass;
+        # only paid when the caller asked for telemetry
+        cc_stats["n_new_pairs"] = pairs.count()
+
     # keep/drop: the prior side of a mixed pair always wins; new-new pairs
     # drop the greater id (keep-lowest-id, same rule as jaccard_keep)
     drop_id = (
@@ -801,7 +888,12 @@ def incremental_dedup(
 
     # cluster labels: prior connectivity enters as its (linear) cluster
     # edge list — closure-equivalent to the prior pair relation, without
-    # touching a single prior pair
+    # touching a single prior pair. The closure itself is FRONTIER-LIMITED:
+    # min-label propagation only moves labels along edges, so a prior
+    # component no new-involving pair reaches cannot change — seed the CC
+    # with (a) the new pairs and (b) only the prior cluster edges whose
+    # label belongs to a component some new pair touched. The iterative
+    # closure is then |affected-components|-sized, not corpus-sized.
     if prior_clusters is None:
         prior_clusters = prior_sigs.select(
             F.col("id"), F.col("id").alias("cluster_id")
@@ -809,16 +901,44 @@ def incremental_dedup(
     cluster_edges = prior_clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    nodes = (
-        prior_sigs.select("id").unionByName(new_sigs.select("id")).distinct()
+    touched_prior = (
+        pairs.filter(~F.col("new_a"))
+        .select(F.col("id_a").alias("id"))
+        .unionByName(
+            pairs.filter(~F.col("new_b")).select(F.col("id_b").alias("id"))
+        )
+        .distinct()
     )
+    # labels of the touched prior docs = the affected components; one hop
+    # suffices because cluster edges are star edges (member -> min label)
+    # and merges only ever travel through new-involving pairs
+    touched_labels = (
+        prior_clusters.join(touched_prior, "id", "left_semi")
+        .select(F.col("cluster_id").alias("id_b"))
+        .distinct()
+    )
+    rel_edges = cluster_edges.join(touched_labels, "id_b", "left_semi")
     labels = connected_components(
-        cluster_edges.unionByName(pairs.select("id_a", "id_b")), nodes
+        rel_edges.unionByName(pairs.select("id_a", "id_b")),
+        stats=cc_stats,
     )
 
     # dropped only ever contains NEW ids (the drop rule above), so prior
-    # rows in scope="all" mode get keep=1 through the same left join
-    base = nodes if scope == "all" else new_sigs.select("id")
+    # rows in scope="all" mode get keep=1 through the same left join;
+    # nodes outside the closure fall back to identity labels (new
+    # singletons) or their untouched prior label (pass-through below)
+    if scope == "all":
+        untouched = prior_clusters.join(
+            labels.select("id"), "id", "left_anti"
+        ).select("id", "cluster_id")
+        labels = labels.unionByName(untouched)
+        base = (
+            prior_clusters.select("id")
+            .unionByName(new_sigs.select("id"))
+            .distinct()
+        )
+    else:
+        base = new_sigs.select("id")
     return (
         base.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
         .join(labels, "id", "left")

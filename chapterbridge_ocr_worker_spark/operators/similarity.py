@@ -392,6 +392,43 @@ def ivf_query_index(
     return _probe_and_rank(corp, queries, cent_arr, n, k, nprobe, id_col, vec_col)
 
 
+def vector_signatures(
+    corpus: DataFrame,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, vec, bucket)`` — the embedding-LSH signature row. What a
+    state-keeping pipeline materializes (materialize_vector_signatures) so
+    a later INCREMENTAL run (incremental_cosine_neardup) judges next
+    week's embedding batch without re-hashing the corpus — the embedding
+    sibling of dedup.minhash_signatures."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    )
+
+
+def materialize_vector_signatures(
+    corpus: DataFrame,
+    table_path: str,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Write the embedding signature table to parquet and return a fresh
+    scan of it (same contract as dedup.materialize_signatures)."""
+    import os
+
+    from ..sources.tables import write_table
+
+    root, name = os.path.split(table_path.rstrip("/"))
+    write_table(vector_signatures(corpus, bits, id_col, vec_col),
+                root or ".", name)
+    return corpus.sparkSession.read.parquet(table_path)
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -411,12 +448,7 @@ def cosine_neardup_pairs(
     lifetime is caller-owned via operators.cache.release_caches().
     """
     sigs = persist_tracked(
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            lsh_signature(F.col(vec_col), bits).alias("bucket"),
-        ),
-        storage_level,
+        vector_signatures(corpus, bits, id_col, vec_col), storage_level
     )
     keep = (
         sigs.groupBy("bucket")
@@ -439,3 +471,115 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_r") >= threshold)
     )
+
+
+def incremental_cosine_neardup(
+    new_vectors: DataFrame,
+    prior_sigs: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 10,
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    storage_level: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs of a NEW batch against a prior corpus's
+    MATERIALIZED signature table: ``(id_a, id_b, cos_r)`` for every
+    near-dup pair with at least one new side.
+
+    The embedding sibling of dedup.incremental_dedup (same frozen-prior
+    semantics): the prior corpus was signature-hashed once
+    (materialize_vector_signatures) and is never re-hashed; only the new
+    batch runs lsh_signature. Bucket caps are UNION-wide (degeneracy is a
+    corpus property), the prior side enters the candidate join only in
+    buckets the new batch touches (semi-join — prunable at scale), and the
+    prior-vs-prior quadrant is never generated. Equivalence: when no
+    bucket crosses max_bucket differently, the output equals
+    cosine_neardup_pairs over the union restricted to new-involving pairs
+    (tests/test_operators.py pins this).
+    """
+    new_sigs = persist_tracked(
+        vector_signatures(new_vectors, bits, id_col, vec_col), storage_level
+    )
+    allsigs = persist_tracked(
+        prior_sigs.select("id", "vec", "bucket")
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            new_sigs.select("id", "vec", "bucket").withColumn(
+                "is_new", F.lit(True)
+            )
+        ),
+        storage_level,
+    )
+    # union-wide caps from the narrow bucket column (prior side: one
+    # column-pruned pass over the materialized table)
+    kept = (
+        allsigs.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("bucket")
+    )
+    capped = allsigs.join(kept, "bucket", "left_semi")
+    a, b = capped.filter("is_new").alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= threshold)
+        .distinct()
+    )
+
+
+# a cell holding > IVF_REBUILD_SKEW x the median is the standard signal
+# that appended batches drifted away from the build-time centroid sample:
+# probes over that cell re-rank far more rows than the nprobe/n_centroids
+# contract assumes (latency), while sparse cells starve recall
+IVF_REBUILD_SKEW = 8.0
+
+
+def ivf_index_stats(spark, index_path: str) -> dict:
+    """Health metrics of a materialized IVF index — the rebuild trigger
+    ivf_append_index's docstring promises ("rebuild when cell-size skew
+    degrades probe recall"), measurable instead of eyeballed.
+
+    Returns cell-population stats over the assignments table; ONE narrow
+    aggregate over the (bucket) column. ``rebuild_recommended`` fires when
+    max/median cell size exceeds IVF_REBUILD_SKEW or any centroid's cell
+    is empty (both are drift signatures a long-running append-only
+    pipeline accumulates)."""
+    from ..sources.tables import read_table
+
+    cents = read_table(spark, index_path, "centroids").select("bucket")
+    sizes = (
+        read_table(spark, index_path, "assignments")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = (
+        cents.join(sizes, "bucket", "left")
+        .select(F.coalesce("n", F.lit(0)).alias("n"))
+        .collect()
+    )  # n_centroids rows — driver-side by construction
+    ns = sorted(r["n"] for r in rows)
+    n_cells = len(ns)
+    median = ns[n_cells // 2] if n_cells else 0
+    biggest = ns[-1] if ns else 0
+    skew = (biggest / median) if median else float("inf") if biggest else 0.0
+    return {
+        "n_centroids": n_cells,
+        "n_vectors": sum(ns),
+        "max_cell": biggest,
+        "median_cell": median,
+        "empty_cells": sum(1 for n in ns if n == 0),
+        "skew_ratio": round(skew, 2),
+        "rebuild_recommended": bool(
+            n_cells and (skew > IVF_REBUILD_SKEW or ns[0] == 0)
+        ),
+    }

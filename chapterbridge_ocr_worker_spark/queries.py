@@ -1491,31 +1491,51 @@ def dedup_incremental_q(spark, sf_dir):
     sig_path, cl_path = ensure_dedup_prior_state(spark, sf_dir)
     prior_sigs = read_signatures(spark, sig_path)
     prior_clusters = spark.read.parquet(cl_path)
-    return incremental_dedup(new, prior_sigs, prior_clusters, threshold=0.6)
+    # fully |new|-sized weekly path: caps from the pre-aggregated count
+    # table, band rows from the narrow bucket table, frontier closure
+    return incremental_dedup(
+        new,
+        prior_sigs,
+        prior_clusters,
+        threshold=0.6,
+        prior_buckets=spark.read.parquet(f"{sig_path}_buckets"),
+        prior_bucket_counts=spark.read.parquet(f"{sig_path}_bucket_counts"),
+    )
 
 
 def ensure_dedup_prior_state(spark, sf_dir) -> tuple[str, str]:
     """Build-once-per-testdata-generation 'last week's run' state for the
-    incremental query: materialized prior signature table + cluster labels
-    on disk, keyed to source identity (same rationale as the interleave
+    incremental query: materialized prior signature table + bucket state
+    ((id, bh) rows and pre-aggregated (bh, n) counts) + cluster labels on
+    disk, keyed to source identity (same rationale as the interleave
     cache — this is the PRIOR run's cost, not the weekly increment's;
     bench.py builds it outside the timed region). Staging-dir + rename
     commit: a killed build never leaves a half-written state to poison
-    later runs. Returns (sig_path, clusters_path)."""
+    later runs. Returns (sig_path, clusters_path); the bucket tables live
+    at {sig_path}_buckets / {sig_path}_bucket_counts."""
     import os
     import shutil
     import uuid
 
-    from .operators.dedup import materialize_signatures, neardup_clusters
+    from .operators.dedup import (
+        materialize_bucket_state,
+        materialize_signatures,
+        neardup_clusters,
+    )
 
     base = f"/tmp/dedup_prior_{_cache_key(sf_dir, '')}"
     sig_path, cl_path = f"{base}/sigs", f"{base}/clusters"
-    if not (os.path.isdir(sig_path) and os.path.isdir(cl_path)):
+    if not (
+        os.path.isdir(sig_path)
+        and os.path.isdir(cl_path)
+        and os.path.isdir(f"{sig_path}_bucket_counts")
+    ):
         docs = t(spark, sf_dir, "documents")
         t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
         prior = docs.filter(F.col("doc_id") < t_split)
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
-        materialize_signatures(prior, f"{staging}/sigs")
+        sigs = materialize_signatures(prior, f"{staging}/sigs")
+        materialize_bucket_state(sigs, f"{staging}/sigs")
         neardup_clusters(prior, threshold=0.6).write.mode("overwrite").parquet(
             f"{staging}/clusters"
         )
@@ -2562,6 +2582,77 @@ def emb_neardup_q(spark, sf_dir):
     )
 
 
+def ensure_emb_prior_sigs(spark, sf_dir) -> str:
+    """Build-once 'last week's embedding batch' state for the incremental
+    near-dup query: the prior 60% of vectors signature-hashed to a parquet
+    table (materialize_vector_signatures) — the PRIOR run's cost, built
+    outside bench timing like ensure_dedup_prior_state. Returns the table
+    path."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.similarity import materialize_vector_signatures
+
+    base = f"/tmp/emb_prior_{_cache_key(sf_dir, '')}"
+    sig_path = f"{base}/vsigs"
+    if not os.path.isdir(sig_path):
+        emb = t(spark, sf_dir, "embeddings")
+        t_split = (int(emb.agg(F.max("vec_id")).first()[0]) + 1) * 6 // 10
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        materialize_vector_signatures(
+            emb.filter(F.col("vec_id") < t_split), f"{staging}/vsigs", bits=6
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return sig_path
+
+
+@q(
+    "emb_neardup_incremental",
+    f"""
+    WITH thr AS (SELECT ((MAX(vec_id) + 1) * 6) // 10 AS t FROM embeddings),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id % 50 = 0
+    ), sig AS (
+      SELECT vec_id AS id, v, {_bucket_sql("v", 6)} AS bucket FROM base
+    ), kept AS (
+      SELECT bucket FROM sig GROUP BY bucket HAVING COUNT(*) <= 256
+    ), cap AS (
+      SELECT s.id, s.v, s.bucket FROM sig s JOIN kept USING (bucket)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 4) AS cos_r
+    FROM cap a JOIN cap b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE (a.id >= (SELECT t FROM thr) OR b.id >= (SELECT t FROM thr))
+      AND ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 4) >= 0.9
+    """,
+    "INCREMENTAL embedding near-dup: a new vector batch (top 40% of "
+    "vec_ids + planted clones of every 50th vector) judged against the "
+    "prior corpus's MATERIALIZED signature table — frozen-prior semantics, "
+    "no prior vector re-hashed, prior-vs-prior quadrant never generated; "
+    "the twin recomputes the union pipeline and keeps new-involving pairs",
+)
+def emb_neardup_incremental_q(spark, sf_dir):
+    from .operators.similarity import incremental_cosine_neardup
+
+    emb = t(spark, sf_dir, "embeddings")
+    t_split = (int(emb.agg(F.max("vec_id")).first()[0]) + 1) * 6 // 10
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    new = (
+        emb.filter(F.col("vec_id") >= t_split)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    prior_sigs = spark.read.parquet(ensure_emb_prior_sigs(spark, sf_dir))
+    return incremental_cosine_neardup(new, prior_sigs, threshold=0.9, bits=6)
+
+
 @q(
     "pdf_layout_parse",
     r"""
@@ -2846,6 +2937,7 @@ _REGISTRY_ORDER = [
     "notin_null_aware",
     "q2_min_price_per_type",
     "w_range_30d_revenue",
+    "emb_neardup_incremental",
     # evicted from the window round 5 (long-proven plain-relational /
     # column-expression shapes; driver rows green in CORRECTNESS_r02-r04,
     # re-verified by tools/oracle_check.py each round — see BENCH.md)

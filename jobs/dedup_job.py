@@ -11,13 +11,30 @@ without recomputing a single prior signature or pair.
         [--threshold 0.6] [--cores 8]
 
 State directory (owned by this job, carried run-to-run):
-    signatures/   MinHash signature table (id, toks, sig, bands) of every
-                  doc ever processed — appended per run as a crash-safe
-                  snapshot (sources.tables.append_snapshot), never rewritten
-    clusters/     (id, cluster_id) labels — the FULL refreshed relabeling
-                  appended per run, read back latest-wins per id, so a new
-                  doc chaining two prior clusters updates the prior
-                  members' labels too (no stale labels between runs)
+    signatures/     MinHash signature table (id, toks, sig, bands) of every
+                    doc ever processed — appended per run as a crash-safe
+                    snapshot (sources.tables.append_snapshot), never
+                    rewritten. Appended LAST: it doubles as the RESUME
+                    MARKER (the anti-join below), so a rerun after any
+                    mid-commit crash redoes the run instead of silently
+                    skipping the tables that never got their append.
+    clusters/       (id, cluster_id) labels — the FULL refreshed relabeling
+                    appended per run, read back latest-wins per id, so a new
+                    doc chaining two prior clusters updates the prior
+                    members' labels too (no stale labels between runs).
+                    Committed FIRST: latest-wins absorbs the duplicate
+                    snapshot a crash-rerun appends.
+    buckets/        (id, bh) exploded band-bucket rows — the narrow table
+                    the weekly band join runs against, so the wide
+                    signature table never re-explodes. Crash-rerun
+                    duplicates are harmless to candidates (distinct pairs)
+                    and physically deduped by keys=["id"] compaction.
+    bucket_counts/  (run_id, bh, n) per-run bucket-population deltas; the
+                    union-wide degeneracy caps = SUM(n) per bh — a narrow
+                    pre-aggregated read instead of a corpus-sized re-count.
+                    Read latest-wins per run_id (run_id = the slice's max
+                    doc_id, deterministic), so a crash-rerun's duplicate
+                    delta snapshot can never double a bucket's count.
 
 Outputs under --out:
     decisions/    (id, keep, cluster_id) for THIS run's docs
@@ -71,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from chapterbridge_ocr_worker_spark.operators.cache import release_caches
     from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bucket_count_rows,
+        bucket_rows,
         incremental_dedup,
         jaccard_keep,
         minhash_signatures,
@@ -112,13 +131,17 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
-    new_sigs = minhash_signatures(docs)
+    new_sigs = minhash_signatures(docs).persist()
     new_ids = docs.select(F.col("doc_id").alias("id"))
+    cc_stats: dict = {}
 
     if prior_sigs is None:
         # bootstrap: full dedup of the first slice
         mode = "bootstrap"
-        clusters = neardup_clusters(docs, threshold=args.threshold)
+        backfilled = False
+        clusters = neardup_clusters(
+            docs, threshold=args.threshold, cc_stats=cc_stats
+        )
         kept = jaccard_keep(docs, threshold=args.threshold).withColumn(
             "keep", F.lit(1)
         )
@@ -132,12 +155,51 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         mode = "incremental"
+        # CRASH-WINDOW BOUNDARY: state appends happen in the order clusters
+        # -> buckets -> bucket_counts -> signatures(marker); a crash between
+        # any two leaves partial week-N rows in the earlier tables. Because
+        # ids are crawl-ordered (caller contract), "the prior corpus" is
+        # EXACTLY the rows below this slice's min id — filtering every
+        # prior-state read by it makes a post-crash rerun bit-identical to
+        # a clean run (no double-counted caps, no self-as-prior rows), and
+        # the filters are parquet-pushdown-pruned at scale.
+        min_new_id = docs.agg(F.min("doc_id")).first()[0]
         prior_clusters = tables.read_table_latest(
             spark, args.state, "clusters", keys=["id"]
+        ).filter(F.col("id") < min_new_id)
+        # bucket state: the narrow (id, bh) table + pre-aggregated (bh, n)
+        # counts make the weekly run fully |new|-sized. State dirs from
+        # before these tables existed are backfilled ONCE from the prior
+        # signatures (a linear pass — exactly what every weekly run paid
+        # before).
+        prior_buckets = tables.read_table(spark, args.state, "buckets")
+        backfilled = prior_buckets is None
+        if backfilled:
+            tables.append_snapshot(bucket_rows(prior_sigs), args.state, "buckets")
+            prior_buckets = tables.read_table(spark, args.state, "buckets")
+            prior_run_id = prior_sigs.agg(F.max("id")).first()[0]
+            tables.append_snapshot(
+                bucket_count_rows(prior_buckets).withColumn(
+                    "run_id", F.lit(prior_run_id).cast("long")
+                ),
+                args.state,
+                "bucket_counts",
+            )
+        prior_buckets = prior_buckets.filter(F.col("id") < min_new_id)
+        prior_counts = (
+            tables.read_table_latest(
+                spark, args.state, "bucket_counts", keys=["run_id"]
+            )
+            .filter(F.col("run_id") < min_new_id)
+            .groupBy("bh")
+            .agg(F.sum("n").alias("n"))
         )
         all_labels = incremental_dedup(
             docs, prior_sigs, prior_clusters, threshold=args.threshold,
             scope="all",
+            prior_buckets=prior_buckets,
+            prior_bucket_counts=prior_counts,
+            cc_stats=cc_stats,
         )
 
     all_labels = all_labels.persist()
@@ -148,21 +210,42 @@ def main(argv: list[str] | None = None) -> int:
 
     # commit this run's rows into the rolling state: crash-safe snapshot
     # appends — a killed run leaves state readable at the previous commit.
-    # clusters gets the FULL refreshed relabeling; the latest-wins reader
-    # above makes the newest label win per id on the next run
-    tables.append_snapshot(new_sigs, args.state, "signatures")
+    # ORDER MATTERS: signatures go LAST because they are the resume marker
+    # — a crash between any two appends makes the rerun redo the whole run,
+    # and every earlier table absorbs its duplicate snapshot (clusters +
+    # bucket_counts via latest-wins keys, buckets via distinct candidates /
+    # keyed compaction). Committing signatures earlier would turn a crash
+    # into a resume-noop with the OTHER tables permanently missing this
+    # slice — silently splitting clusters and skewing caps forever.
     tables.append_snapshot(
         all_labels.select("id", "cluster_id"), args.state, "clusters"
     )
+    new_buckets = bucket_rows(new_sigs)
+    tables.append_snapshot(new_buckets, args.state, "buckets")
+    run_id = docs.agg(F.max("doc_id")).first()[0]
+    tables.append_snapshot(
+        bucket_count_rows(new_buckets).withColumn(
+            "run_id", F.lit(run_id).cast("long")
+        ),
+        args.state,
+        "bucket_counts",
+    )
+    tables.append_snapshot(new_sigs, args.state, "signatures")
     n_corpus = tables.read_table(spark, args.state, "signatures").count()
     all_labels.unpersist()
+    new_sigs.unpersist()
     release_caches()
 
     # small-file hygiene: weekly appends accumulate snapshots; compact once
-    # they pile up (clusters with keys so latest-wins survives the rewrite
-    # and superseded label rows are physically dropped)
+    # they pile up (keyed tables keep latest-wins through the rewrite and
+    # physically drop superseded/duplicate rows)
     compacted = {}
-    for tbl, keys in (("signatures", None), ("clusters", ["id"])):
+    for tbl, keys in (
+        ("signatures", None),
+        ("clusters", ["id"]),
+        ("buckets", ["id"]),
+        ("bucket_counts", ["run_id"]),
+    ):
         path = tables.table_path(args.state, tbl)
         live = tables._live_snapshots(path) or []
         if len(live) > COMPACT_AFTER:
@@ -179,6 +262,11 @@ def main(argv: list[str] | None = None) -> int:
                 "dropped_as_dups": n_new - n_kept,
                 "corpus_total": n_corpus,
                 "compacted": compacted,
+                "backfilled_bucket_state": backfilled,
+                # closure telemetry: a long-running operator watches rounds
+                # / pair counts drift instead of discovering divergence by
+                # eye (cc_* empty on resume-noop runs)
+                **cc_stats,
             }
         )
     )

@@ -351,6 +351,107 @@ def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
     assert by_id[28]["keep"] == 0 and by_id[28]["cluster_id"] == 27  # near-dup
 
 
+def test_incremental_dedup_bucket_tables_equivalent(spark, tmp_path):
+    """The fully |new|-sized path (materialized (id, bh) bucket table +
+    (bh, n) count table, frontier-limited closure) must return EXACTLY what
+    the table-less path returns — for new-doc rows AND for the scope='all'
+    rolling relabeling — on the planted crawl corpus."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        materialize_bucket_state,
+        materialize_signatures,
+        neardup_clusters,
+    )
+
+    rows = _crawl_corpus()
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    prior = all_docs.filter("doc_id < 24")
+    new = all_docs.filter("doc_id >= 24")
+
+    sig_path = str(tmp_path / "sigs")
+    prior_sigs = materialize_signatures(prior, sig_path)
+    buckets, counts = materialize_bucket_state(prior_sigs, sig_path)
+    prior_clusters = neardup_clusters(prior, threshold=0.6)
+
+    for scope in ("new", "all"):
+        base = {
+            r["id"]: (r["keep"], r["cluster_id"])
+            for r in incremental_dedup(
+                new, prior_sigs, prior_clusters, threshold=0.6, scope=scope
+            ).collect()
+        }
+        tabled = {
+            r["id"]: (r["keep"], r["cluster_id"])
+            for r in incremental_dedup(
+                new,
+                prior_sigs,
+                prior_clusters,
+                threshold=0.6,
+                scope=scope,
+                prior_buckets=buckets,
+                prior_bucket_counts=counts,
+            ).collect()
+        }
+        assert tabled == base, scope
+
+
+def test_incremental_dedup_cap_crossing_consistent(spark):
+    """A band bucket pushed over max_bucket only by the union must be
+    dropped IDENTICALLY by the counts-table path and the derived-counts
+    path (the cap decision is the one place the two compute the same number
+    from different inputs)."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bucket_count_rows,
+        bucket_rows,
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    # 6 prior + 4 new identical docs: every band bucket holds 10 docs,
+    # so max_bucket=8 kills all buckets only when counted UNION-wide
+    prior = spark.createDataFrame(
+        [(i, "same text for every doc") for i in range(6)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(i, "same text for every doc") for i in range(6, 10)],
+        ["doc_id", "text"],
+    )
+    prior_sigs = minhash_signatures(prior)
+    b = bucket_rows(prior_sigs)
+    for kwargs in (
+        {},
+        {"prior_buckets": b, "prior_bucket_counts": bucket_count_rows(b)},
+    ):
+        got = {
+            r["id"]: r["keep"]
+            for r in incremental_dedup(
+                new, prior_sigs, max_bucket=8, **kwargs
+            ).collect()
+        }
+        # every bucket capped out -> no candidates -> everything kept
+        assert got == {6: 1, 7: 1, 8: 1, 9: 1}, kwargs.keys()
+
+
+def test_incremental_dedup_cc_stats(spark):
+    """cc_stats surfaces closure telemetry (rounds, convergence) so a
+    state-keeping job can watch propagation behavior drift."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    rows = _crawl_corpus()
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {}
+    incremental_dedup(
+        all_docs.filter("doc_id >= 24"),
+        minhash_signatures(all_docs.filter("doc_id < 24")),
+        cc_stats=stats,
+    ).collect()
+    assert stats["cc_converged"] is True
+    assert stats["cc_rounds"] >= 1
+
+
 def test_incremental_dedup_defaults_prior_singletons(spark):
     """Without prior_clusters, prior docs count as singleton clusters: a
     new dup of a prior doc still drops and labels into the prior id."""
@@ -706,6 +807,104 @@ def test_cosine_neardup_pairs_fire_on_near_identical_vectors(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(a == 0 and b == 1 for a, b in pairs)  # orthogonal vecs excluded
+
+
+def test_incremental_cosine_neardup_matches_full(spark, tmp_path):
+    """incremental_cosine_neardup over (new batch, materialized prior
+    signature table) must equal cosine_neardup_pairs over the union
+    restricted to new-involving pairs — frozen-prior semantics for the
+    embedding family. Planted clones cross the boundary both ways."""
+    import math
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        incremental_cosine_neardup,
+        materialize_vector_signatures,
+    )
+
+    rng = random.Random(42)
+
+    def vec():
+        v = [rng.uniform(-1, 1) for _ in range(6)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [(i, vec()) for i in range(30)]
+    jitter = [
+        x + rng.uniform(-0.005, 0.005) for x in base[4][1]
+    ]
+    rows = base + [
+        (30, base[4][1]),   # new clone of a PRIOR vector (mixed pair)
+        (31, jitter),       # new near-dup of prior 4 / new 30
+        (32, base[25][1]),  # two new clones of prior 25: mixed pairs
+        (33, base[25][1]),  # (25,32), (25,33) plus the new-new pair (32,33)
+    ]
+    schema = "vec_id: long, embedding: array<float>"
+    allv = spark.createDataFrame(rows, schema)
+    cut = 28
+    prior = allv.filter(f"vec_id < {cut}")
+    new = allv.filter(f"vec_id >= {cut}")
+
+    prior_sigs = materialize_vector_signatures(
+        prior, str(tmp_path / "vsigs"), bits=5
+    )
+    inc = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in incremental_cosine_neardup(
+            new, prior_sigs, threshold=0.95, bits=5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in cosine_neardup_pairs(allv, threshold=0.95, bits=5).collect()
+        if r["id_a"] >= cut or r["id_b"] >= cut
+    }
+    assert inc == full
+    assert (4, 30) in inc and (32, 33) in inc  # planted cases fired
+
+
+def test_ivf_index_stats_detects_drift(spark, tmp_path):
+    """The rebuild trigger ivf_append_index's docstring promises: a healthy
+    index reports skew under the threshold; appending a batch drawn from a
+    SHIFTED distribution (everything lands in few cells) pushes max/median
+    cell skew past IVF_REBUILD_SKEW and flips rebuild_recommended."""
+    import math
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_append_index,
+        ivf_index_stats,
+    )
+
+    rng = random.Random(5)
+    dim = 6
+
+    def vec(center=None):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        if center is not None:  # drifted: tight cone around one direction
+            v = [c + 0.05 * x for c, x in zip(center, v)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    schema = "vec_id: long, embedding: array<float>"
+    b1 = spark.createDataFrame([(i, vec()) for i in range(64)], schema)
+    idx = str(tmp_path / "ivf_drift")
+    ivf_build_index(b1, idx, n_centroids=8)
+    healthy = ivf_index_stats(spark, idx)
+    assert healthy["n_centroids"] == 8 and healthy["n_vectors"] == 64
+    assert healthy["rebuild_recommended"] is False
+
+    center = vec()
+    drifted = spark.createDataFrame(
+        [(1000 + i, vec(center)) for i in range(600)], schema
+    )
+    ivf_append_index(drifted, idx)
+    after = ivf_index_stats(spark, idx)
+    assert after["n_vectors"] == 664
+    assert after["skew_ratio"] > healthy["skew_ratio"]
+    assert after["rebuild_recommended"] is True
 
 
 def test_multimodal_resize_frames_features(spark):

@@ -183,6 +183,45 @@ def test_incremental_dedup_plan_hygiene(spark, tmp_path):
     # the signature hash fold runs for the new slice only: one consumer
     # (the persisted union barrier), not one per prior-side consumer
     assert plan.count("ascii(") <= 1
+
+
+def test_incremental_dedup_bucket_tables_plan(spark, tmp_path):
+    """The fully |new|-sized weekly path: with the materialized (id, bh)
+    bucket table and (bh, n) count table, the plan must (a) read both
+    narrow tables, (b) scan the WIDE prior signature table without its
+    bands column (proving no prior-side band explode — caps and candidates
+    come from the narrow tables), (c) keep the new-slice-only hash fold."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        incremental_dedup,
+        materialize_bucket_state,
+        materialize_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    sig_path = str(tmp_path / "psigs")
+    prior_sigs = materialize_signatures(docs.filter("doc_id < 20"), sig_path)
+    buckets, counts = materialize_bucket_state(prior_sigs, sig_path)
+    out = incremental_dedup(
+        docs.filter("doc_id >= 20"),
+        prior_sigs,
+        prior_buckets=buckets,
+        prior_bucket_counts=counts,
+    )
+    plan = pi.formatted(out)
+    assert "psigs_bucket_counts" in plan  # caps: pre-aggregated read
+    assert "psigs_buckets" in plan  # candidates: narrow band rows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ascii(") <= 1  # hash fold: new slice only
+    # every scan of the wide prior table is attach-only: bands never read
+    for block in plan.split("Scan parquet"):
+        if "psigs]" in block.split("Location", 1)[-1][:200]:
+            first_line = block.splitlines()[1] if "\n" in block else ""
+            assert "bands" not in first_line, first_line
+    assert out.count() >= 0  # and it actually runs off the tables
     """One connected-components round: neighbor-min propagation + pointer
     jump must stay equi-joins and a key-hash groupBy — no nested-loop or
     cartesian fallback (those would be quadratic in nodes at scale)."""

@@ -78,15 +78,30 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
         )
 
     s1 = run(w1, str(tmp_path / "out1"))
-    assert s1 == {
+    assert {
+        k: s1[k]
+        for k in ("mode", "docs_in", "skipped_done", "kept",
+                  "dropped_as_dups", "corpus_total", "compacted")
+    } == {
         "mode": "bootstrap", "docs_in": 24, "skipped_done": 0, "kept": 24,
         "dropped_as_dups": 0, "corpus_total": 24, "compacted": {},
     }
+    # closure telemetry surfaces in the run stats (drift watchability)
+    assert s1["cc_converged"] is True and s1["cc_rounds"] >= 1
+
+    # simulate a state dir written BEFORE the bucket-state tables existed
+    # (r4 layout): the next incremental run must backfill them once
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "buckets"))
+    shutil.rmtree(os.path.join(state, "bucket_counts"))
 
     s2 = run(w2, str(tmp_path / "out2"))
     assert s2["mode"] == "incremental"
     assert s2["docs_in"] == 16 and s2["corpus_total"] == 40
     assert s2["dropped_as_dups"] == 2  # 24 (dup of prior 3), 26 (dup of 25)
+    assert s2["cc_converged"] is True and s2["n_new_pairs"] >= 2
+    assert s2["backfilled_bucket_state"] is True  # r4-era state migrated
 
     # rerunning the committed slice is a no-op: state untouched, no
     # duplicate signature rows to skew later bucket counts
@@ -121,6 +136,63 @@ def test_dedup_job_cli_bootstrap_then_incremental(spark, tmp_path):
         ).collect()
     }
     assert state_labels == full_labels
+
+    # CRASH WINDOW: kill the run "between the bucket_counts append and the
+    # signatures append" by un-committing week2's signature snapshot; the
+    # rerun (resume marker gone) must redo the slice and leave state
+    # IDENTICAL to the clean path — labels equal the full recompute and no
+    # bucket count is double-counted by the orphaned week2 delta rows.
+    import json as _json
+
+    sig_path = os.path.join(state, "signatures")
+    with open(os.path.join(sig_path, "_live_snapshots.json")) as f:
+        manifest = _json.load(f)
+    victim = manifest["snapshots"].pop()  # week2's commit
+    with open(os.path.join(sig_path, "_live_snapshots.json"), "w") as f:
+        _json.dump(manifest, f)
+    shutil.rmtree(os.path.join(sig_path, victim))
+    assert tables.read_table(spark, state, "signatures").count() == 24
+
+    s2c = run(w2, str(tmp_path / "out2c"))
+    assert s2c["mode"] == "incremental"  # marker gone -> full redo
+    assert s2c["dropped_as_dups"] == 2 and s2c["corpus_total"] == 40
+    relabeled = {
+        r["id"]: r["cluster_id"]
+        for r in tables.read_table_latest(
+            spark, state, "clusters", keys=["id"]
+        ).collect()
+    }
+    assert relabeled == full_labels
+    # counts state: SUM over latest-wins deltas == true union bucket counts
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bucket_count_rows,
+        bucket_rows,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    got_counts = {
+        r["bh"]: r["n"]
+        for r in tables.read_table_latest(
+            spark, state, "bucket_counts", keys=["run_id"]
+        )
+        .groupBy("bh")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    true_counts = {
+        r["bh"]: r["n"]
+        for r in bucket_count_rows(
+            bucket_rows(
+                minhash_signatures(
+                    spark.createDataFrame(
+                        [(i, texts[i]) for i in range(40)], ["doc_id", "text"]
+                    )
+                )
+            )
+        ).collect()
+    }
+    assert got_counts == true_counts
 
 
 def test_curate_job_cli(spark, tmp_path):

@@ -35,6 +35,7 @@ from chapterbridge_ocr_worker_spark.operators.cache import release_caches
 from chapterbridge_ocr_worker_spark.operators.dedup import (
     incremental_dedup,
     jaccard_keep,
+    materialize_bucket_state,
     materialize_signatures,
     neardup_clusters,
     read_signatures,
@@ -64,9 +65,11 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="bench_inc_")
     try:
-        # "last week's run": signature table + cluster labels, materialized
+        # "last week's run": signature table + bucket state + cluster
+        # labels, materialized (the r5 state layout)
         t0 = time.time()
         prior_sigs = materialize_signatures(prior, os.path.join(work, "sigs"))
+        materialize_bucket_state(prior_sigs, os.path.join(work, "sigs"))
         prior_clusters = neardup_clusters(prior, threshold=0.6)
         prior_clusters.write.mode("overwrite").parquet(
             os.path.join(work, "clusters")
@@ -75,13 +78,32 @@ def main() -> None:
         release_caches()
 
         # THIS week's incremental run (warm JVM, cold caches — same basis
-        # as the full-recompute leg below)
+        # as the full-recompute leg below): fully |new|-sized — caps from
+        # the count table, candidates from the narrow bucket table,
+        # frontier-limited closure
         prior_clusters = spark.read.parquet(os.path.join(work, "clusters"))
         prior_sigs = read_signatures(spark, os.path.join(work, "sigs"))
+        pb = spark.read.parquet(os.path.join(work, "sigs_buckets"))
+        pc = spark.read.parquet(os.path.join(work, "sigs_bucket_counts"))
         t0 = time.time()
-        inc = incremental_dedup(new, prior_sigs, prior_clusters, threshold=0.6)
+        inc = incremental_dedup(
+            new, prior_sigs, prior_clusters, threshold=0.6,
+            prior_buckets=pb, prior_bucket_counts=pc,
+        )
         inc_rows = {r["id"]: (r["keep"], r["cluster_id"]) for r in inc.collect()}
         inc_wall = time.time() - t0
+        release_caches()
+
+        # scope="all" leg: the rolling-label refresh (what jobs/dedup_job
+        # appends) — must stay close to scope="new" because untouched
+        # components pass their labels through without riding the closure
+        t0 = time.time()
+        inc_all = incremental_dedup(
+            new, prior_sigs, prior_clusters, threshold=0.6, scope="all",
+            prior_buckets=pb, prior_bucket_counts=pc,
+        )
+        all_rows = {r["id"]: (r["keep"], r["cluster_id"]) for r in inc_all.collect()}
+        inc_all_wall = time.time() - t0
         release_caches()
 
         # the counterfactual: full recompute of the union
@@ -99,6 +121,18 @@ def main() -> None:
             (inc_rows[i][0] == 1) == (i in full_keep) for i in new_ids
         )
         match_labels = all(inc_rows[i][1] == full_labels[i] for i in new_ids)
+        # scope="all" invariants: new ids label identically to scope="new",
+        # prior rows all keep=1 (frozen-prior). Prior LABELS are not
+        # compared to the full recompute: they deliberately preserve the
+        # prior run's connectivity even where union-wide caps would have
+        # hidden it (cap-crossing is exactly the regime where frozen-prior
+        # and recompute-from-scratch legitimately differ; the no-crossing
+        # equivalence is pinned by the unit/property tests).
+        match_all_scope = all(
+            all_rows[i] == inc_rows[i] for i in new_ids
+        ) and all(
+            keep == 1 for i, (keep, _) in all_rows.items() if i not in new_ids
+        )
         print(
             json.dumps(
                 {
@@ -108,10 +142,12 @@ def main() -> None:
                     "n_new": n_new,
                     "setup_wall_s": round(setup_wall, 2),
                     "incremental_wall_s": round(inc_wall, 2),
+                    "incremental_all_scope_wall_s": round(inc_all_wall, 2),
                     "full_recompute_wall_s": round(full_wall, 2),
                     "speedup_vs_full": round(full_wall / max(inc_wall, 1e-9), 2),
                     "keep_matches_full": match_keep,
                     "labels_match_full": match_labels,
+                    "all_scope_consistent": match_all_scope,
                     "new_kept": sum(1 for k, _ in inc_rows.values() if k == 1),
                 }
             )
