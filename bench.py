@@ -45,6 +45,7 @@ from chapterbridge_ocr_worker_spark.queries import (
     QUERIES,
     _cache_key,
     ensure_dedup_prior_state,
+    ensure_emb_prior_sigs,
     ensure_ivf_index,
     streaming_scratch_dirs,
 )
@@ -68,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_exact_incremental",
     "stream_dedup_exact",
     "emb_cosine_neardup",
+    "emb_neardup_incremental",
     "emb_ivf_topk",
     "emb_ivf_indexed",
     "f13_output_docs",
@@ -127,6 +129,7 @@ def main() -> None:
     # cost, built outside the timed region (same rationale as the
     # interleave cache); the timed query is the weekly increment only
     ensure_dedup_prior_state(spark, sf_dir)
+    ensure_emb_prior_sigs(spark, sf_dir)  # prior embedding batch's cost
     ensure_ivf_index(spark, sf_dir)  # index build = the indexing run's cost
     release_caches()
 

@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     # --out is the job's durable storage, so co-locate them there.
     spark.sparkContext.setCheckpointDir(os.path.join(args.out, "_checkpoints"))
 
-    clusters = neardup_clusters(docs, threshold=args.threshold)
+    cc_stats: dict = {}
+    clusters = neardup_clusters(docs, threshold=args.threshold, cc_stats=cc_stats)
     # representative = the doc whose id IS its cluster label (the min id)
     reps = clusters.filter(F.col("id") == F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
@@ -97,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_kept": n_kept,
                 "dropped_as_dups": n_in - n_kept,
                 "languages": lang_rows,
+                # closure telemetry (rounds, convergence): drift in these is
+                # the early signal of adversarial chaining at corpus scale
+                **cc_stats,
             }
         )
     )

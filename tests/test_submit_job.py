@@ -229,3 +229,5 @@ def test_curate_job_cli(spark, tmp_path):
     # the job must set a RELIABLE checkpoint dir on its durable storage so
     # connected_components survives executor loss on a real cluster
     assert os.path.isdir(os.path.join(out_dir, "_checkpoints"))
+    # closure telemetry surfaces in the stats JSON
+    assert stats["cc_converged"] is True and stats["cc_rounds"] >= 1
