@@ -583,3 +583,36 @@ def ivf_index_stats(spark, index_path: str) -> dict:
             n_cells and (skew > IVF_REBUILD_SKEW or ns[0] == 0)
         ),
     }
+
+
+def ivf_rebuild_index(spark, index_path: str, n_centroids: int | None = None) -> dict:
+    """Recluster a drifted index: re-sample centroids from EVERYTHING in
+    the assignments table (original build + every appended batch) and
+    re-assign all vectors — the action ivf_index_stats' rebuild_recommended
+    asks for. Costs one corpus-sized pass, which is the point: it is paid
+    only when the skew stat says recall is at risk, not per append.
+
+    Crash-safe: the new index is built in a staging directory and swapped
+    in with one rename — a killed rebuild leaves the live index untouched.
+    Run ONE maintainer at a time (the swap is last-writer-wins).
+    Returns the post-rebuild ivf_index_stats."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.tables import read_table
+
+    if n_centroids is None:
+        n_centroids = read_table(spark, index_path, "centroids").count()
+    corpus = read_table(spark, index_path, "assignments").select(
+        "neighbor_id", "cvec"
+    )
+    staging = f"{index_path.rstrip('/')}.rebuilding-{uuid.uuid4().hex[:8]}"
+    ivf_build_index(
+        corpus, staging, n_centroids, id_col="neighbor_id", vec_col="cvec"
+    )
+    old = f"{index_path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return ivf_index_stats(spark, index_path)

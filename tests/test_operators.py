@@ -906,6 +906,17 @@ def test_ivf_index_stats_detects_drift(spark, tmp_path):
     assert after["skew_ratio"] > healthy["skew_ratio"]
     assert after["rebuild_recommended"] is True
 
+    # the maintenance action: recluster from the full assignments table —
+    # skew drops and the flag clears, with every vector still indexed
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_rebuild_index,
+    )
+
+    rebuilt = ivf_rebuild_index(spark, idx)
+    assert rebuilt["n_vectors"] == 664
+    assert rebuilt["skew_ratio"] < after["skew_ratio"]
+    assert rebuilt["rebuild_recommended"] is False
+
 
 def test_multimodal_resize_frames_features(spark):
     from chapterbridge_ocr_worker_spark.engine import fakeimg
