@@ -762,15 +762,21 @@ def incremental_dedup(
     job) the weekly run is fully |new|-sized: new-side rows drive every
     join (a week's crawl vs the corpus: |new| << |prior|), union-wide caps
     come from the pre-aggregated (bh, n) table plus the new slice's
-    deltas, the prior band rows enter via a semi-join on the (small) set
-    of buckets the new slice touches — prunable to a partition-pruned /
-    DPP read of the narrow (id, bh) table at scale — and the label
+    deltas, the prior band rows enter via a semi-join on the set of
+    buckets the new slice touches, and the label
     closure runs over the FRONTIER only (components a new-involving pair
     touches; untouched prior components pass their labels through
     unchanged). No prior signature is recomputed, no prior pair re-scored,
-    no corpus-sized explode or closure remains. Without the bucket-state
-    tables both are derived from prior_sigs (one linear narrow pass each
-    — the r4 shape, still correct, kept for table-less callers).
+    no corpus-sized explode or closure remains. HONEST FLOOR: the
+    candidate semi-join still READS the (id, bh) table once — narrow
+    (16 bytes/row) and linear in the corpus, but a read. For a realistic
+    weekly slice that is the floor: |new| x 8 band buckets is a DENSE
+    subset of the bucket space, so partition pruning / min-max skipping
+    on bh cannot drop meaningful I/O (they pay off only for tiny top-up
+    slices, where an Iceberg bucket(bh) transform would prune the scan).
+    Without the bucket-state tables both caps and band rows are derived
+    from prior_sigs (one linear narrow pass each — the r4 shape, still
+    correct, kept for table-less callers).
     """
     new_sigs = persist_tracked(
         minhash_signatures(new_docs, text_col, id_col), storage_level
