@@ -296,3 +296,38 @@ def test_ivf_plan_broadcasts_probes(spark):
     plan = pi.formatted(df)
     assert pi.count_broadcast_joins(df) >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_neardup_scans_prior_sig_table(spark, tmp_path):
+    """incremental_cosine_neardup: the prior corpus enters as a FileScan of
+    the materialized (id, vec, bucket) table with bucket READ FROM FILE —
+    the frozen-prior contract. The hyperplane signature fold (its 40503
+    plane-hash constant) must appear for the NEW batch only: re-hashing the
+    prior side would double the fold count and break the |new|-sized run."""
+    from chapterbridge_ocr_worker_spark.operators.cache import release_caches
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        incremental_cosine_neardup,
+        materialize_vector_signatures,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sig_path = str(tmp_path / "vsigs")
+    prior = materialize_vector_signatures(
+        emb.filter("vec_id % 5 != 0"), sig_path, bits=6
+    )
+    out = incremental_cosine_neardup(
+        emb.filter("vec_id % 5 = 0"), prior, threshold=0.5, bits=6
+    )
+    plan = pi.formatted(out)
+    assert "vsigs" in plan and "CartesianProduct" not in plan
+    # the sig-table scan serves bucket from parquet, not a recompute
+    assert "bucket:bigint" in pi.scan_read_schema(out, "vsigs")
+    # one signature fold per plan appearance of the new-batch projection;
+    # a prior-side re-hash would add folds over the vsigs scan (none)
+    import re
+
+    for scan in re.findall(r"Scan parquet[\s\S]{0,400}?ReadSchema: \S+", plan):
+        if "vsigs" in scan:
+            assert "40503" not in scan
+    assert out.count() >= 0  # and the plan executes off the table
+    release_caches()
