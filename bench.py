@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "html_strip_tags",
     "html_main_content",
     "pdf_layout_parse",
+    "text_repetition",
+    "decontam_overlap",
+    "text_pii_scan",
+    "curate_mix_sample",
+    "curate_shard_pack",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

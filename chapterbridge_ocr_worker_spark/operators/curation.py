@@ -1,0 +1,347 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The gates a web-scale pretraining pipeline runs AFTER extraction and
+dedup, before a corpus becomes a training mix:
+
+- repetition signals (Gopher-style): duplicate-word fraction, top-bigram
+  fraction, adjacent-repeat fraction — the "degenerate document" filters.
+- benchmark decontamination: token-n-gram overlap of every document
+  against a (small, broadcast) benchmark set.
+- PII scan/redaction: email / phone / IPv4 counts + a redacted text
+  column, pure JVM regex.
+- temperature-weighted language mixing: deterministic hash-based
+  sampling with per-language rates ~ sqrt(n_lang) (the alpha=0.5
+  rebalance every multilingual training mix applies).
+- token-budget shard packing: deterministic assignment of documents to
+  bounded-size training shards, parallel across hash buckets.
+
+Design rules shared with textstats.py: pure column expressions or
+relational explode/agg shapes (no Python in the hot path), and every
+decision threshold computed in INTEGER arithmetic so the DuckDB SQL twin
+in queries.py is bit-exact (no float rounding divergence at a sampling
+boundary). Reference anchor: these extend the corpus-side curation the
+reference's pipeline implies but never had an engine for (its scope ends
+at per-document OCR output, workers/ocr/pipeline.py) — they are the §2-
+adjacent "training-data pipeline" surface SURVEY.md §6 commits to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MH_PRIME
+from .textstats import token_count, tokens
+
+# Knuth multiplicative constant; (MH_PRIME-1) * KNUTH ~ 5.7e18 stays under
+# int64 max, so pmod(pmod(id,P)*KNUTH + seed, P) never overflows. (At a
+# true 10^12-doc scale ids exceed P and the first pmod is load-bearing.)
+KNUTH = 2654435761
+MIX_SEED = 12345
+
+
+def doc_hash(doc_id: Column) -> Column:
+    """Portable uniform hash of a numeric id into [0, MH_PRIME): identical
+    integer arithmetic in Spark and DuckDB (no engine hash function), so
+    sampling decisions survive engine migration — same rationale as
+    dedup.portable_token_hash."""
+    return F.pmod(
+        F.pmod(doc_id.cast("long"), F.lit(MH_PRIME)) * F.lit(KNUTH)
+        + F.lit(MIX_SEED),
+        F.lit(MH_PRIME),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style degenerate-text filters)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals:
+
+    - ``dup_word_fraction``: 1 - distinct/total tokens — bulk repetition.
+    - ``adj_repeat_fraction``: fraction of adjacent token pairs that are
+      equal — "foo foo foo" stutter.
+    - ``top_bigram_fraction``: occurrences of the most frequent token
+      bigram / total bigrams — boilerplate loops.
+
+    The first two are per-row array expressions. The bigram mode is NOT
+    (mode-of-array via array ops is O(n^2) per document, hostile to the
+    long tail of million-token docs), so it runs relationally: explode
+    bigrams -> count per (doc, gram) -> max per doc. Two hash shuffles on
+    high-cardinality keys, both AQE-coalescible; the join back to the
+    per-row signals is doc_id-to-doc_id.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    head = F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0)))
+    tail = F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0)))
+    adj_eq = F.size(
+        F.filter(F.zip_with(head, tail, lambda a, b: a == b), lambda x: x)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (n_tok - F.size(F.array_distinct(toks)))
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_word_fraction"),
+        F.round(
+            adj_eq / F.greatest(n_tok - 1, F.lit(1)).cast("double"), 4
+        ).alias("adj_repeat_fraction"),
+    )
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigrams(t)).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_fraction",
+        "adj_repeat_fraction",
+        F.round(
+            F.coalesce(F.col("top_c"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)).cast(
+                "double"
+            ),
+            4,
+        ).alias("top_bigram_fraction"),
+    )
+
+
+def bigrams(text: Column) -> Column:
+    """Token bigrams as space-joined strings; <2 tokens -> empty array."""
+    return ngrams_tokens(text, 2)
+
+
+def ngrams_tokens(text: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings; <n tokens -> empty array."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    joined = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(joined)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-n-gram overlap of every corpus document against a benchmark
+    set: ``(doc_id, n_grams, n_hit, contaminated)`` where n_hit counts the
+    document's DISTINCT n-grams that occur anywhere in the benchmark.
+
+    The standard eval-leakage gate (13-gram in GPT-3's appendix; n is a
+    parameter here because the synthetic docs are short). Scale shape: the
+    benchmark side is eval-set-sized — thousands of documents, not
+    billions — so its distinct-gram set BROADCASTS and the corpus side
+    never shuffles for the probe; the only corpus-sized exchange is the
+    per-doc count aggregation on doc_id (AQE-coalescible). Pinned in
+    tests/test_plans.py.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_tokens(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(ngrams_tokens(F.col(text_col), n))).alias(
+            "g"
+        ),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(ngrams_tokens(F.col(text_col), n))).alias(
+            "n_grams"
+        ),
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scan / redaction
+# --------------------------------------------------------------------------
+
+# Java-regex AND RE2 compatible (no lookaround, no backrefs) so the DuckDB
+# twin runs the byte-identical pattern
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_columns(text: Column) -> dict[str, Column]:
+    """PII signals + redacted text. Redaction order is load-bearing:
+    emails first (their domains contain dots an IPv4-ish pattern could
+    clip), then IPv4, then phones."""
+    t = F.coalesce(text, F.lit(""))
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))),
+        "n_ipv4": F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))),
+        "redacted": red,
+    }
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    cols = pii_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature-weighted language mixing
+# --------------------------------------------------------------------------
+
+
+def mix_sample(
+    df: DataFrame,
+    budget_frac_num: int = 1,
+    budget_frac_den: int = 2,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-weighted (alpha=0.5) language rebalance:
+    keep ~ budget docs total, allocated per language proportional to
+    sqrt(n_lang) — upsamples the share of tail languages relative to their
+    raw counts, the standard multilingual-mix correction.
+
+    Every threshold is INTEGER arithmetic (milli-weights from
+    floor(sqrt(n)*1000); `div` for allocation; hash-vs-threshold compare)
+    so the keep set is bit-identical across engines AND across runs — a
+    training mix must be reproducible, not "approximately resampled".
+    sqrt is IEEE-correctly-rounded in both engines, so floor(sqrt(n)*1000)
+    cannot diverge. Scale shape: the per-language stats are a
+    5-row aggregate; the rate map broadcasts back; the corpus-side
+    decision is one projection + filter — no corpus shuffle, no sort.
+    NOTE (10^12 docs): target*MH_PRIME overflows int64 around n_docs ~
+    4e9; shard the allocation per (lang, crawl) at that scale so `target`
+    stays bounded.
+    """
+    total = df.groupBy().agg(F.count("*").alias("n_total"))
+    by_lang = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_lang")
+    )
+    weights = by_lang.select(
+        "lang",
+        "n_lang",
+        F.floor(F.sqrt(F.col("n_lang")) * 1000).cast("long").alias("w_milli"),
+    )
+    wsum = weights.groupBy().agg(F.sum("w_milli").alias("w_sum"))
+    rates = (
+        weights.crossJoin(F.broadcast(wsum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_lang",
+            F.expr(
+                f"(n_total * {budget_frac_num} div {budget_frac_den})"
+                " * w_milli div w_sum"
+            ).alias("target"),
+        )
+        .select(
+            "lang",
+            F.least(
+                F.lit(MH_PRIME - 1),
+                F.expr(f"target * {MH_PRIME}L div n_lang"),
+            ).alias("thr"),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            doc_hash(F.col(id_col)).alias("h"),
+        )
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("h") < F.col("thr"))
+        .select("doc_id", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# token-budget shard packing
+# --------------------------------------------------------------------------
+
+
+def shard_pack(
+    df: DataFrame,
+    budget: int = 2000,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to token-budget-bounded training shards:
+    ``(doc_id, bucket, shard_id, n_tokens)``.
+
+    A single global running sum would serialize the corpus through one
+    window partition, so packing is two-level: documents hash into
+    ``n_buckets`` independent buckets (deterministic doc_hash — also the
+    global training-order shuffle), and a running token sum WITHIN each
+    bucket packs greedily: shard = exclusive-prefix-sum div budget. Each
+    bucket's window sorts only corpus/n_buckets rows and all buckets run
+    in parallel; at 10^12 docs n_buckets is simply sized so a bucket fits
+    a task (e.g. 2^20 buckets), the shape is unchanged. A document larger
+    than the budget still lands in exactly one shard (its own start
+    shard) — packing is by starts, not splits.
+    """
+    from pyspark.sql.window import Window
+
+    h = doc_hash(F.col(id_col))
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+        h.alias("h"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "bucket",
+        F.expr(f"(cum - n_tokens) div {budget}").alias("shard_id"),
+        "n_tokens",
+    )

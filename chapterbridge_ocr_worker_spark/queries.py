@@ -2842,6 +2842,200 @@ def union_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Curation suite (operators/curation.py): repetition, decontamination, PII,
+# temperature mixing, shard packing
+# ---------------------------------------------------------------------------
+
+_TK_CTE = (
+    "SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] "
+    f"ELSE {_TOKENS_SQL} END AS tk FROM documents"
+)
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH toks AS ({_TK_CTE}),
+    base AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             ROUND((len(tk) - len(list_distinct(tk)))
+                   / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS dup_word_fraction,
+             ROUND(len(list_filter(range(1, len(tk)), i -> tk[i] = tk[i+1]))
+                   / CAST(greatest(len(tk) - 1, 1) AS DOUBLE), 4) AS adj_repeat_fraction
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM toks
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+            FROM counts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.dup_word_fraction, b.adj_repeat_fraction,
+           ROUND(COALESCE(t.top_c, 0)
+                 / CAST(greatest(COALESCE(t.n_bigrams, 0), 1) AS DOUBLE), 4)
+             AS top_bigram_fraction
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+    "Gopher-style repetition signals: dup-word / adjacent-repeat / "
+    "top-bigram fractions (degenerate-doc gate)",
+)
+def text_repetition_q(spark, sf_dir):
+    from .operators.curation import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "decontam_overlap",
+    f"""
+    WITH toks AS ({_TK_CTE}),
+    g8 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 6),
+                 i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM g8 WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, gs FROM g8 WHERE doc_id % 97 != 0),
+    dg AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit
+             FROM dg JOIN bench USING (g) GROUP BY doc_id)
+    SELECT c.doc_id, len(c.gs) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) > 0 AS INT) AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+    "benchmark decontamination: distinct token-8-gram overlap of every doc "
+    "against a broadcast eval set",
+)
+def decontam_overlap_q(spark, sf_dir):
+    from .operators.curation import decontaminate_overlap
+
+    d = t(spark, sf_dir, "documents")
+    out = decontaminate_overlap(
+        d.filter("doc_id % 97 != 0"), d.filter("doc_id % 97 = 0"), n=8
+    )
+    return out.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
+def _pii_sql() -> str:
+    """Java-regex AND RE2 compatible; byte-identical pattern strings on
+    both engines (see operators/curation.py PII_*). Built by concatenation
+    because the regex braces collide with f-string fields."""
+    from .operators.curation import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return (
+        "WITH aug AS (\n"
+        "  SELECT doc_id, text\n"
+        "    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||"
+        " '@example.com' ELSE '' END\n"
+        "    || CASE WHEN doc_id % 11 = 0 THEN ' dial 555-867-5309' ELSE '' END\n"
+        "    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.204.17' ELSE '' END"
+        " AS text\n"
+        "  FROM documents)\n"
+        "SELECT doc_id,\n"
+        f"  len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,\n"
+        f"  len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,\n"
+        f"  len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,\n"
+        "  regexp_replace(regexp_replace(regexp_replace(text,\n"
+        f"    '{PII_EMAIL}', '<EMAIL>', 'g'),\n"
+        f"    '{PII_IPV4}', '<IP>', 'g'),\n"
+        f"    '{PII_PHONE}', '<PHONE>', 'g') AS redacted\n"
+        "FROM aug"
+    )
+
+
+@q(
+    "text_pii_scan",
+    _pii_sql(),
+    "PII scan + redaction (emails/phones/IPv4) over deterministically "
+    "planted contacts — the pre-release scrub gate",
+)
+def text_pii_scan_q(spark, sf_dir):
+    from .operators.curation import pii_scan
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 7 = 0"),
+            F.concat(
+                F.col("text"),
+                F.expr("' contact user' || doc_id || '@example.com'"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 11 = 0"),
+            F.concat(F.col("text"), F.lit(" dial 555-867-5309")),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.expr("doc_id % 13 = 0"),
+            F.concat(F.col("text"), F.lit(" from 10.0.204.17")),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scan(aug)
+
+
+@q(
+    "curate_mix_sample",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    l AS (SELECT lang, COUNT(*) AS n_lang,
+                 CAST(FLOOR(SQRT(COUNT(*)) * 1000) AS BIGINT) AS w_milli
+          FROM documents GROUP BY lang),
+    s AS (SELECT SUM(w_milli) AS w_sum FROM l),
+    r AS (SELECT lang, n_lang,
+                 ((n_total * 1 // 2) * w_milli) // w_sum AS target
+          FROM l, s, tot),
+    thr AS (SELECT lang,
+                   LEAST(2147483646, (target * 2147483647) // n_lang) AS thr
+            FROM r)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE ((d.doc_id % 2147483647) * 2654435761 + 12345) % 2147483647 < thr
+    """,
+    "temperature-weighted (alpha=0.5) language rebalance: deterministic "
+    "integer-threshold hash sampling to a half-corpus budget",
+)
+def curate_mix_sample_q(spark, sf_dir):
+    from .operators.curation import mix_sample
+
+    return mix_sample(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "curate_shard_pack",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ((doc_id % 2147483647) * 2654435761 + 12345) % 2147483647 AS h,
+             {_NTOK_SQL} AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, h % 16 AS bucket,
+           CAST((SUM(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 2000 AS BIGINT) AS shard_id,
+           n_tokens
+    FROM toks
+    """,
+    "token-budget shard packing: deterministic hash-bucketed running-sum "
+    "assignment of docs to bounded training shards",
+)
+def curate_shard_pack_q(spark, sf_dir):
+    from .operators.curation import shard_pack
+
+    return shard_pack(t(spark, sf_dir, "documents"), budget=2000, n_buckets=16)
+
+
+# ---------------------------------------------------------------------------
 # Registry order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness samples the FIRST 50 registry entries in
@@ -2945,6 +3139,12 @@ _REGISTRY_ORDER = [
     "text_fingerprint",
     "pivot_status_by_priority",
     "cube_order_counts",
+    # curation suite (round 5) — overflow; verified by tools/oracle_check.py
+    "text_repetition",
+    "decontam_overlap",
+    "text_pii_scan",
+    "curate_mix_sample",
+    "curate_shard_pack",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Curation-suite semantics: repetition signals, decontamination, PII
+redaction, temperature mixing, shard packing (operators/curation.py).
+
+The cross-engine hash equivalence of each is pinned by the DuckDB twins in
+queries.py (tools/oracle_check.py); these tests pin the SEMANTICS on
+constructed inputs where the right answer is checkable by hand.
+"""
+
+from pyspark.sql import functions as F
+
+from chapterbridge_ocr_worker_spark.operators.curation import (
+    decontaminate_overlap,
+    doc_hash,
+    mix_sample,
+    pii_scan,
+    repetition_stats,
+    shard_pack,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # dup 2/4, adjacent 2/3, top bigram "a a" 2/3
+            (2, "x y z w"),          # no repetition
+            (3, "go go go go"),      # fully degenerate
+            (4, ""),                 # empty -> all zeros
+            (5, "solo"),             # single token -> no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_fraction"] == 0.5
+    assert rows[1]["adj_repeat_fraction"] == 0.6667
+    assert rows[1]["top_bigram_fraction"] == 0.6667
+    assert rows[2]["dup_word_fraction"] == 0.0
+    assert rows[2]["adj_repeat_fraction"] == 0.0
+    assert rows[2]["top_bigram_fraction"] == 0.3333  # all bigrams tie at 1/3
+    assert rows[3]["dup_word_fraction"] == 0.75
+    assert rows[3]["adj_repeat_fraction"] == 1.0
+    assert rows[3]["top_bigram_fraction"] == 1.0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["top_bigram_fraction"] == 0.0
+    assert rows[5]["top_bigram_fraction"] == 0.0
+
+
+def test_decontaminate_overlap_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight tail")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's leading 8-gram verbatim
+            (1, "prefix one two three four five six seven eight suffix"),
+            # shares words but no 8-gram run
+            (2, "one two three four nope five six seven eight"),
+            (3, "totally different content here with many words present"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate_overlap(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit"] == 0
+    assert not out[3]["contaminated"]
+    assert out[1]["n_grams"] == 3  # 10 tokens -> 3 distinct 8-grams
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or visit 10.0.0.1 today"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.io c@d.net and ip 192.168.0.255"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "bob.smith" not in out[1]["redacted"]
+    assert out[2]["n_phones"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "call <PHONE> or visit <IP> today"
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ipv4"] == 0
+    assert out[3]["redacted"] == "no pii here at all"
+    assert out[4]["n_emails"] == 2 and out[4]["n_ipv4"] == 1
+    assert out[4]["redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_mix_sample_budget_and_tail_upweighting(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = mix_sample(docs).collect()
+    total = docs.count()
+    # half-corpus budget, hash sampling: within 15% of target
+    assert abs(len(kept) - total / 2) < total * 0.15
+    # alpha=0.5 temperature: the dominant language's keep RATE must be
+    # strictly below a tail language's (sqrt rebalance upsamples tails)
+    raw = {r["lang"]: r["cnt"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    kept_by = {}
+    for r in kept:
+        kept_by[r["lang"]] = kept_by.get(r["lang"], 0) + 1
+    head = max(raw, key=raw.get)
+    tail = min(raw, key=raw.get)
+    assert kept_by[head] / raw[head] < kept_by[tail] / raw[tail]
+    # deterministic: a second run returns the identical keep set
+    again = {r["doc_id"] for r in mix_sample(docs).collect()}
+    assert {r["doc_id"] for r in kept} == again
+
+
+def test_shard_pack_budget_property(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    budget = 500
+    out = shard_pack(docs, budget=budget, n_buckets=4).collect()
+    assert len(out) == docs.count()  # every doc lands in exactly one shard
+    by_shard = {}
+    max_doc = 0
+    for r in out:
+        by_shard.setdefault((r["bucket"], r["shard_id"]), []).append(r)
+        max_doc = max(max_doc, r["n_tokens"])
+    for (bucket, shard), rows in by_shard.items():
+        tok = sum(r["n_tokens"] for r in rows)
+        # exclusive-prefix packing: a shard exceeds the budget by at most
+        # its last (straddling) document
+        assert tok < budget + max_doc
+    # shard ids are contiguous from 0 within every bucket
+    buckets = {b for b, _ in by_shard}
+    for b in buckets:
+        ids = sorted(s for bb, s in by_shard if bb == b)
+        assert ids == list(range(len(ids)))
+
+
+def test_doc_hash_matches_duckdb(spark):
+    """The sampling hash is the portable-integer contract: Spark and
+    DuckDB agree bit-for-bit (same guarantee dedup.portable_token_hash
+    carries for strings)."""
+    import duckdb
+
+    ids = [0, 1, 7, 97, 12345, 2147483646, 2147483647, 10**12 + 7]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", doc_hash(F.col("doc_id")).alias("h")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT i, ((i % 2147483647) * 2654435761 + 12345) % 2147483647 "
+            f"FROM (SELECT unnest({ids}::BIGINT[]) AS i)"
+        ).fetchall()
+    )
+    assert got == want

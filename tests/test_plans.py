@@ -331,3 +331,24 @@ def test_incremental_neardup_scans_prior_sig_table(spark, tmp_path):
             assert "40503" not in scan
     assert out.count() >= 0  # and the plan executes off the table
     release_caches()
+
+
+def test_curation_suite_plan_hygiene(spark):
+    """Scale shapes of the curation suite: decontamination probes the
+    corpus against a BROADCAST benchmark-gram set (the corpus never
+    shuffles for the probe); the mix sampler's rate map broadcasts back to
+    a corpus-side projection+filter with no corpus sort anywhere."""
+    plan = pi.formatted(QUERIES["decontam_overlap"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+    mix = QUERIES["curate_mix_sample"].fn(spark, SF)
+    plan = pi.formatted(mix)
+    assert pi.count_broadcast_joins(mix) >= 1
+    assert "CartesianProduct" not in plan and "Sort " not in plan
+
+    # shard packing parallelizes across hash buckets: the window must be
+    # PARTITIONED (a global single-partition window would serialize the
+    # corpus through one task)
+    plan = pi.formatted(QUERIES["curate_shard_pack"].fn(spark, SF))
+    assert "hashpartitioning(bucket" in plan
