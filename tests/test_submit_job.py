@@ -231,3 +231,62 @@ def test_curate_job_cli(spark, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "_checkpoints"))
     # closure telemetry surfaces in the stats JSON
     assert stats["cc_converged"] is True and stats["cc_rounds"] >= 1
+
+
+def test_corpus_job_cli(spark, tmp_path):
+    """End-to-end pre-training funnel (jobs/corpus_job.py): constructed
+    corpus where every gate has exactly one designed victim, so the funnel
+    counts are checkable by hand; plus determinism — a rerun produces the
+    byte-identical packed corpus."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+        (3, "spam spam spam spam spam spam spam spam", "en"),  # stutter
+        # contains the benchmark 8-gram verbatim
+        (4, "leading words one two three four five six seven eight done", "en"),
+        (5, "mail me at alice@example.com for the draft paper", "de"),
+        (6, "completely unrelated prose about gardens and rivers flowing", "de"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(docs_dir)
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(100, "one two three four five six seven eight")], ["doc_id", "text"]
+    ).write.parquet(bench_dir)
+    out_dir = str(tmp_path / "corpus")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_job.py"),
+           "--documents", docs_dir, "--out", out_dir,
+           "--benchmark", bench_dir, "--max-adj-repeat", "0.5",
+           # budget 1/1: keep every survivor, so gate effects are isolated
+           "--budget-num", "1", "--budget-den", "1",
+           "--shard-tokens", "16", "--n-buckets", "2", "--cores", "4"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 6
+    assert stats["after_dedup"] == 5          # doc 2 collapses into doc 1
+    assert stats["after_repetition"] == 4     # doc 3 stutter-gated
+    assert stats["after_decontam"] == 3       # doc 4 overlaps the benchmark
+    # budget 1/1 with per-language integer allocation keeps everything
+    assert stats["after_mix"] == 3
+    assert stats["docs_redacted"] == 1 and stats["pii_hits"] == 1  # doc 5
+    assert stats["cc_converged"] is True
+
+    final = spark.read.parquet(f"{out_dir}/corpus")
+    got = {r["doc_id"]: r for r in final.collect()}
+    assert set(got) == {1, 5, 6}
+    assert "<EMAIL>" in got[5]["text"] and "alice" not in got[5]["text"]
+    assert got[1]["text"] == base  # clean docs pass through unmodified
+
+    # determinism: the rerun's packed corpus is identical row-for-row
+    out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rerun = {r["doc_id"]: r for r in spark.read.parquet(f"{out_dir}/corpus").collect()}
+    for k, r in got.items():
+        assert rerun[k].asDict() == r.asDict()
