@@ -230,6 +230,61 @@ def pii_scan(
 
 
 # --------------------------------------------------------------------------
+# source-level (domain) quality filtering
+# --------------------------------------------------------------------------
+
+
+def source_quality(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quality inventory + keep/drop decision — the C4-style
+    "filter by domain" gate, scored on the source's pooled alpha ratio
+    (alphabetic chars / total chars across all its documents).
+
+    ``(source, n_docs, alpha_chars, total_chars, keep)`` where keep means
+    the source's pooled ratio is >= the corpus-wide pooled ratio. The
+    comparison is CROSS-MULTIPLIED integer sums
+    (alpha_s * total_corpus >= alpha_corpus * total_s) — no float
+    division, so the decision is bit-exact across engines and partition
+    orders. Scale shape: one map-side-combined aggregate to #sources
+    rows, corpus totals broadcast back; a doc-level gate is then a
+    broadcast semi-join of kept sources (#sources << corpus).
+    int64 headroom: alpha_s * total_corpus needs chars_source *
+    chars_corpus < 2^63 — shard the decision per crawl beyond ~3e9 chars
+    per side, or widen to decimal.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.length(F.regexp_replace(t, "[^A-Za-z]", "")).alias("alpha"),
+            F.length(t).alias("chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("alpha").alias("alpha_chars"),
+            F.sum("chars").alias("total_chars"),
+        )
+    )
+    corpus = per_src.groupBy().agg(
+        F.sum("alpha_chars").alias("c_alpha"), F.sum("total_chars").alias("c_total")
+    )
+    return per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "alpha_chars",
+        "total_chars",
+        (
+            F.col("alpha_chars") * F.col("c_total")
+            >= F.col("c_alpha") * F.col("total_chars")
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # temperature-weighted language mixing
 # --------------------------------------------------------------------------
 

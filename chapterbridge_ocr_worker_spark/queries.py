@@ -3011,6 +3011,32 @@ def curate_mix_sample_q(spark, sf_dir):
 
 
 @q(
+    "curate_source_quality",
+    """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g')))
+               AS alpha_chars,
+             SUM(len(COALESCE(text, ''))) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    corpus AS (SELECT SUM(alpha_chars) AS c_alpha, SUM(total_chars) AS c_total
+               FROM per_src)
+    SELECT source, n_docs, alpha_chars, total_chars,
+           CAST(alpha_chars * c_total >= c_alpha * total_chars AS INT) AS keep
+    FROM per_src, corpus
+    """,
+    "source-level (domain) quality gate: pooled alpha ratio per source vs "
+    "corpus, integer cross-multiplied decision",
+)
+def curate_source_quality_q(spark, sf_dir):
+    from .operators.curation import source_quality
+
+    out = source_quality(t(spark, sf_dir, "documents"))
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+@q(
     "curate_shard_pack",
     f"""
     WITH toks AS (
@@ -3145,6 +3171,7 @@ _REGISTRY_ORDER = [
     "text_pii_scan",
     "curate_mix_sample",
     "curate_shard_pack",
+    "curate_source_quality",
 ]
 
 

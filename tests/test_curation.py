@@ -150,3 +150,76 @@ def test_doc_hash_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_source_quality_gate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "clean alpha words only here", "good"),
+            (2, "also very clean prose words", "good"),
+            (3, "@@@@ #### 1234 %%%% junk !!", "spam"),
+            (4, "&&&& ???? 9999 $$$$ more junk", "spam"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    from chapterbridge_ocr_worker_spark.operators.curation import source_quality
+
+    out = {r["source"]: r for r in source_quality(df).collect()}
+    assert out["good"]["keep"] and not out["spam"]["keep"]
+    assert out["good"]["n_docs"] == 2
+    # pooled ratio, not per-doc mean: totals are the sums of both docs
+    assert out["good"]["total_chars"] == len("clean alpha words only here") + len(
+        "also very clean prose words"
+    )
+
+
+def test_mix_sample_spec_matches_python_reference():
+    """Pin the mix-sample SPEC itself (not just Spark==DuckDB, which the
+    oracle covers): the DuckDB twin's keep set equals a pure-Python
+    re-implementation of the integer allocation on random corpora —
+    sqrt-milli weights, integer-div targets, threshold = target*P div n,
+    keep iff portable hash < threshold."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    P = 2147483647
+    KNUTH = 2654435761
+    SEED = 12345
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), st.sampled_from("abcde")),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(rows):
+        n_by_lang: dict = {}
+        for _, lang in rows:
+            n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+        w = {l: int(math.floor(math.sqrt(n) * 1000)) for l, n in n_by_lang.items()}
+        w_sum = sum(w.values())
+        budget = len(rows) * 1 // 2
+        thr = {
+            l: min(P - 1, (budget * w[l] // w_sum) * P // n_by_lang[l])
+            for l in n_by_lang
+        }
+        want = {
+            i for i, lang in rows if ((i % P) * KNUTH + SEED) % P < thr[lang]
+        }
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        from chapterbridge_ocr_worker_spark.queries import QUERIES
+
+        got = {r[0] for r in con.sql(QUERIES["curate_mix_sample"].sql).fetchall()}
+        con.close()
+        assert got == want
+
+    check()
