@@ -285,6 +285,96 @@ def source_quality(
 
 
 # --------------------------------------------------------------------------
+# corpus-wide segment (span) dedup — C4's "deduplicate spans" gate
+# --------------------------------------------------------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact span dedup, the C4-style "deduplicate repeated
+    spans" gate (C4 removed duplicate three-sentence spans; the portable
+    unit here is the non-overlapping k-token segment): every distinct
+    segment survives only at its globally FIRST occurrence — minimal
+    ``(doc_id, seg_idx)`` — and each document is reassembled from its
+    surviving segments in order.
+
+    Returns ``(doc_id, n_segs, n_removed, text_clean)`` for EVERY input
+    document (empty/null text → 0 segments, empty clean text).
+
+    Scale shape: segmentation is pure column HOFs (no Python). The global
+    first-occurrence decision is a ``groupBy(seg).agg(min(struct(doc_id,
+    seg_idx)))`` — deliberately an aggregate, NOT a row_number window:
+    partial (map-side) aggregation collapses a segment's duplicates
+    before the shuffle, so a boilerplate segment repeated a billion times
+    ships one row per mapper instead of a billion rows into one window
+    partition, and the owner join back is an equi-join AQE can skew-split
+    (windows it cannot). Reassembly is one groupBy(doc_id) with an
+    in-group array sort. Net: two shuffles (segment key, then doc key) —
+    the floor for a corpus-global decision plus per-doc reassembly. At
+    10^12 docs, shuffle bytes can be cut further by keying on
+    (length(seg), xxhash64(seg)) and shipping segment text only in the
+    owner table — not done here because the string key keeps the DuckDB
+    twin bit-exact and collision-free.
+    """
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size("tk") / F.lit(float(k))).cast("int")
+    segs = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+        .select(
+            "doc_id",
+            F.when(F.size("tk") == 0, F.array().cast("array<string>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice("tk", i * k + 1, F.lit(k)), " "
+                    ),
+                )
+            )
+            .alias("segs"),
+        )
+        .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg"))
+    )
+    owners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("own")
+    )
+    flagged = segs.join(owners, "seg").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("own.doc_id"))
+        & (F.col("seg_idx") == F.col("own.seg_idx")),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # temperature-weighted language mixing
 # --------------------------------------------------------------------------
 

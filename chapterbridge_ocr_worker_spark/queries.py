@@ -3037,6 +3037,53 @@ def curate_source_quality_q(spark, sf_dir):
 
 
 @q(
+    "curate_segment_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(COALESCE(text, '')) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(CEIL(len(tk) / 3.0) AS INT))) AS seg_idx
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(tk[seg_idx*3+1 : seg_idx*3+3], ' ') AS seg
+      FROM idx
+    ),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_segs,
+             SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+             COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE rn = 1), '') AS text_clean
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_segs, 0) AS n_segs,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "C4-style corpus-wide span dedup: non-overlapping 3-token segments, "
+    "global first occurrence survives, documents reassembled in order",
+)
+def curate_segment_dedup_q(spark, sf_dir):
+    from .operators.curation import segment_dedup
+
+    return segment_dedup(t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
     "curate_shard_pack",
     f"""
     WITH toks AS (
@@ -3172,6 +3219,7 @@ _REGISTRY_ORDER = [
     "curate_mix_sample",
     "curate_shard_pack",
     "curate_source_quality",
+    "curate_segment_dedup",
 ]
 
 

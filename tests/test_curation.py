@@ -223,3 +223,48 @@ def test_mix_sample_spec_matches_python_reference():
         assert got == want
 
     check()
+
+
+def test_segment_dedup_hand_computed(spark):
+    """k=2 segments; global first occurrence wins by (doc_id, seg_idx)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),       # segs: "a b", "c d", "a b"(dup of idx0)
+            (2, "c d e f"),           # "c d" dup of doc1; "e f" fresh
+            (3, ""),                  # no segments
+            (4, None),                # no segments
+            (5, "e"),                 # short tail segment "e"
+        ],
+        ["doc_id", "text"],
+    )
+    from chapterbridge_ocr_worker_spark.operators.curation import segment_dedup
+
+    out = {r["doc_id"]: r for r in segment_dedup(df, k=2).collect()}
+    assert len(out) == 5
+    assert (out[1]["n_segs"], out[1]["n_removed"]) == (3, 1)
+    assert out[1]["text_clean"] == "a b c d"
+    assert (out[2]["n_segs"], out[2]["n_removed"]) == (2, 1)
+    assert out[2]["text_clean"] == "e f"
+    for d in (3, 4):
+        assert (out[d]["n_segs"], out[d]["n_removed"], out[d]["text_clean"]) == (
+            0,
+            0,
+            "",
+        )
+    assert (out[5]["n_segs"], out[5]["n_removed"]) == (1, 0)
+    assert out[5]["text_clean"] == "e"
+
+
+def test_segment_dedup_owner_is_global_min(spark):
+    """The survivor of a repeated segment is the minimal (doc_id, seg_idx)
+    occurrence — even when a LATER doc repeats it at an EARLIER index."""
+    df = spark.createDataFrame(
+        [(10, "x y z z"), (2, "z z w w")], ["doc_id", "text"]
+    )
+    from chapterbridge_ocr_worker_spark.operators.curation import segment_dedup
+
+    out = {r["doc_id"]: r for r in segment_dedup(df, k=2).collect()}
+    # "z z" occurs at (10, 1) and (2, 0): doc 2 owns it.
+    assert out[2]["text_clean"] == "z z w w"
+    assert out[10]["text_clean"] == "x y"
+    assert out[10]["n_removed"] == 1
