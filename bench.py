@@ -47,6 +47,7 @@ from chapterbridge_ocr_worker_spark.queries import (
     ensure_dedup_prior_state,
     ensure_emb_prior_sigs,
     ensure_ivf_index,
+    ensure_segment_prior_set,
     streaming_scratch_dirs,
 )
 
@@ -91,6 +92,9 @@ BENCH_QUERIES = [
     "text_pii_scan",
     "curate_mix_sample",
     "curate_shard_pack",
+    "curate_source_quality",
+    "curate_segment_dedup",
+    "curate_segment_dedup_incremental",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run
@@ -136,6 +140,7 @@ def main() -> None:
     ensure_dedup_prior_state(spark, sf_dir)
     ensure_emb_prior_sigs(spark, sf_dir)  # prior embedding batch's cost
     ensure_ivf_index(spark, sf_dir)  # index build = the indexing run's cost
+    ensure_segment_prior_set(spark, sf_dir)  # prior crawl's segment set
     release_caches()
 
     timings: dict[str, float] = {}

@@ -320,9 +320,26 @@ def segment_dedup(
     owner table — not done here because the string key keeps the DuckDB
     twin bit-exact and collision-free.
     """
+    segs = doc_segments(df, k, id_col=id_col, text_col=text_col)
+    owners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("own")
+    )
+    flagged = segs.join(owners, "seg").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("own.doc_id"))
+        & (F.col("seg_idx") == F.col("own.seg_idx")),
+    )
+    return _reassemble_segments(flagged, df.select(F.col(id_col).alias("doc_id")))
+
+
+def doc_segments(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, seg_idx, seg)`` — the non-overlapping k-token segments
+    of every document, pure column HOFs + one posexplode."""
     toks = tokens(F.col(text_col))
     n_seg = F.ceil(F.size("tk") / F.lit(float(k))).cast("int")
-    segs = (
+    return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
         .select(
             "doc_id",
@@ -339,14 +356,11 @@ def segment_dedup(
         )
         .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg"))
     )
-    owners = segs.groupBy("seg").agg(
-        F.min(F.struct("doc_id", "seg_idx")).alias("own")
-    )
-    flagged = segs.join(owners, "seg").withColumn(
-        "keep",
-        (F.col("doc_id") == F.col("own.doc_id"))
-        & (F.col("seg_idx") == F.col("own.seg_idx")),
-    )
+
+
+def _reassemble_segments(flagged: DataFrame, ids: DataFrame) -> DataFrame:
+    """Fold flagged ``(doc_id, seg_idx, seg, keep)`` rows back into
+    ``(doc_id, n_segs, n_removed, text_clean)`` for every id in ``ids``."""
     per_doc = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_segs"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
@@ -362,15 +376,71 @@ def segment_dedup(
             " ",
         ).alias("text_clean"),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def materialize_segment_set(
+    df: DataFrame, path: str, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Write the corpus's DISTINCT segment set as a one-column parquet
+    table — the persistent state the incremental gate judges new slices
+    against. Weekly maintenance is an append of the new slice's SURVIVING
+    segments (exactly the ``keep`` rows ``incremental_segment_dedup``
+    emits), so the set stays distinct without ever re-reading prior text."""
+    (
+        doc_segments(df, k, id_col=id_col, text_col=text_col)
+        .select("seg")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_segment_dedup(
+    new_docs: DataFrame,
+    prior_segments: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frozen-prior weekly-crawl variant of ``segment_dedup``: the prior
+    corpus's documents are already emitted, so its segment set is FROZEN —
+    a new document's segment survives iff it is absent from the prior set
+    AND it is the first occurrence within the new slice (minimal
+    ``(doc_id, seg_idx)`` among new docs). Output schema and semantics
+    match ``segment_dedup`` restricted to the new slice; when every prior
+    doc_id precedes every new doc_id (the weekly-crawl invariant, same as
+    ``dedup.incremental_dedup``), the result is IDENTICAL to a full
+    recompute over the union restricted to new docs — pinned by test.
+
+    Scale shape: everything is |new|-sized except one pass over the prior
+    segment-set table, which enters as a narrow single-column semi-join
+    (no prior TEXT is re-read or re-segmented; at 10^12 docs the prior
+    set read can be cut to |new|-touched buckets by bucketing both sides
+    on hash(seg), the same plan `incremental_dedup` pins for bands).
+    """
+    segs = doc_segments(new_docs, k, id_col=id_col, text_col=text_col)
+    owners = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("own")
+    )
+    prior = prior_segments.select("seg").distinct().withColumn("_prior", F.lit(1))
+    flagged = (
+        segs.join(owners, "seg")
+        .join(prior, "seg", "left")
+        .withColumn(
+            "keep",
+            F.col("_prior").isNull()
+            & (F.col("doc_id") == F.col("own.doc_id"))
+            & (F.col("seg_idx") == F.col("own.seg_idx")),
         )
+    )
+    return _reassemble_segments(
+        flagged, new_docs.select(F.col(id_col).alias("doc_id"))
     )
 
 

@@ -268,3 +268,56 @@ def test_segment_dedup_owner_is_global_min(spark):
     assert out[2]["text_clean"] == "z z w w"
     assert out[10]["text_clean"] == "x y"
     assert out[10]["n_removed"] == 1
+
+
+def test_incremental_segment_dedup_equals_full_on_new_slice(spark):
+    """Weekly-crawl invariant (all prior ids < all new ids): incremental
+    against the frozen prior segment set == full recompute over the union
+    restricted to the new slice — rows, counts, and cleaned text."""
+    import random
+
+    rng = random.Random(77)
+    vocab = "alpha beta gamma delta eps zeta".split()
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        doc_segments,
+        incremental_segment_dedup,
+        segment_dedup,
+    )
+
+    split = 36
+    prior = df.filter(f"doc_id < {split}")
+    new = df.filter(f"doc_id >= {split}")
+    full = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["text_clean"])
+        for r in segment_dedup(df, k=2).collect()
+        if r["doc_id"] >= split
+    }
+    inc = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["text_clean"])
+        for r in incremental_segment_dedup(
+            new, doc_segments(prior, 2).select("seg"), k=2
+        ).collect()
+    }
+    assert inc == full and len(inc) == 24
+
+
+def test_incremental_segment_dedup_frozen_prior(spark):
+    """A segment present in the prior set is removed from EVERY new
+    occurrence (no new owner is elected), and prior docs are not emitted."""
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        incremental_segment_dedup,
+    )
+
+    new = spark.createDataFrame(
+        [(100, "a b c d"), (101, "a b e f")], ["doc_id", "text"]
+    )
+    prior = spark.createDataFrame([("a b",), ("q r",)], ["seg"])
+    out = {r["doc_id"]: r for r in incremental_segment_dedup(new, prior, k=2).collect()}
+    assert set(out) == {100, 101}
+    assert out[100]["text_clean"] == "c d" and out[100]["n_removed"] == 1
+    assert out[101]["text_clean"] == "e f" and out[101]["n_removed"] == 1
