@@ -5,6 +5,7 @@ through before it becomes a training mix (curate_job.py stops at
 dedup + inventory; this is the release pipeline):
 
     near-dup cluster dedup      keep one representative per cluster
+      -> span dedup (opt-in)    C4-style repeated-segment removal
       -> repetition gate        drop degenerate docs (Gopher-style)
       -> decontamination        drop docs overlapping an eval benchmark
       -> PII redaction          emails/phones/IPv4 -> placeholders
@@ -16,6 +17,7 @@ dedup + inventory; this is the release pipeline):
         --documents /data/documents.parquet \
         --out /data/corpus \
         [--benchmark /data/eval_docs.parquet] \
+        [--segment-dedup-k 0] \
         [--threshold 0.6] [--max-adj-repeat 0.5] [--max-top-bigram 0.5] \
         [--budget-num 1 --budget-den 2] [--shard-tokens 2000] \
         [--n-buckets 16] [--cores 8]
@@ -60,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--benchmark", default=None,
                     help="eval-set parquet (doc_id, text); enables decontam")
+    ap.add_argument("--segment-dedup-k", type=int, default=0,
+                    help="k>0 enables corpus-wide k-token span dedup "
+                    "after cluster dedup; docs emptied by it are dropped")
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--max-adj-repeat", type=float, default=0.5)
     ap.add_argument("--max-top-bigram", type=float, default=0.5)
@@ -82,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         mix_sample,
         pii_columns,
         repetition_stats,
+        segment_dedup,
         shard_pack,
     )
     from chapterbridge_ocr_worker_spark.operators.dedup import neardup_clusters
@@ -112,6 +118,26 @@ def main(argv: list[str] | None = None) -> int:
     release_caches()
     docs = spark.read.parquet(dedup_path)
     funnel["after_dedup"] = docs.count()
+
+    # 1b. corpus-wide span dedup (opt-in): C4's repeated-segment removal.
+    # Runs on the post-cluster-dedup corpus; a doc whose every segment is
+    # owned elsewhere empties and is dropped. Materialized like stage 1 so
+    # the (two-shuffle) owner decision runs once, not per downstream action.
+    if args.segment_dedup_k > 0:
+        sd = segment_dedup(docs, k=args.segment_dedup_k)
+        span_path = os.path.join(args.out, "_stage_spandedup")
+        sd.write.mode("overwrite").parquet(span_path)
+        sd = spark.read.parquet(span_path)
+        docs = docs.drop("text").join(
+            sd.filter(F.length("text_clean") > 0).select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        ).select("doc_id", "text", "lang")
+        funnel["after_span_dedup"] = docs.count()
+        funnel["segments_removed"] = int(
+            sd.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
 
     # 2. repetition gate (dup_word_fraction is corpus-relative noise on
     # natural text; the stutter + boilerplate-loop signals are the gates)

@@ -290,3 +290,44 @@ def test_corpus_job_cli(spark, tmp_path):
     rerun = {r["doc_id"]: r for r in spark.read.parquet(f"{out_dir}/corpus").collect()}
     for k, r in got.items():
         assert rerun[k].asDict() == r.asDict()
+
+
+def test_corpus_job_span_dedup_stage(spark, tmp_path):
+    """--segment-dedup-k wires the C4 span gate into the funnel: shared
+    2-token segments survive only at their first occurrence, a doc whose
+    text empties is dropped, and the funnel stats carry the new counts."""
+    rows = [
+        (1, "red blue green gold", "en"),          # owns both segments
+        (2, "red blue pink teal mauve amber coral jade", "en"),  # loses "red blue"
+        (3, "red blue green gold", "en"),          # empties -> dropped
+        (4, "fresh words only here", "en"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "corpus")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_job.py"),
+           "--documents", docs_dir, "--out", out_dir,
+           "--segment-dedup-k", "2",
+           # near-dup threshold 1.01: disable cluster dedup so the span
+           # stage's own effect is isolated (docs 1 and 3 are identical)
+           "--threshold", "1.01",
+           "--budget-num", "1", "--budget-den", "1",
+           "--shard-tokens", "16", "--n-buckets", "2", "--cores", "4"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 4 and stats["after_dedup"] == 4
+    # doc 2 loses 1 segment, doc 3 loses both and is dropped
+    assert stats["after_span_dedup"] == 3
+    assert stats["segments_removed"] == 3
+    final = {r["doc_id"]: r for r in
+             spark.read.parquet(f"{out_dir}/corpus").collect()}
+    assert set(final) == {1, 2, 4}
+    assert final[1]["text"] == "red blue green gold"
+    assert final[2]["text"] == "pink teal mauve amber coral jade"
+    assert final[4]["text"] == "fresh words only here"
