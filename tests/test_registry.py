@@ -57,12 +57,12 @@ DRIVER_WINDOW = [
     "asof_last_view_before_purchase",
     "rollup_revenue",
     "q7_nation_volume",
-    "d4_except_custkeys",
     "d3_union_dedup",
-    "salted_group_stats",
-    "topk_orders_per_segment",
-    "q1_pricing_summary",
-    "q3_topk_revenue",
+    "emb_neardup_incremental",
+    "text_pii_scan",
+    "curate_mix_sample",
+    "curate_segment_dedup",
+    "curate_segment_dedup_incremental",
 ]
 
 
