@@ -331,3 +331,105 @@ def test_corpus_job_span_dedup_stage(spark, tmp_path):
     assert final[1]["text"] == "red blue green gold"
     assert final[2]["text"] == "pink teal mauve amber coral jade"
     assert final[4]["text"] == "fresh words only here"
+
+
+def test_spandedup_job_cli(spark, tmp_path):
+    """Weekly span-dedup entrypoint (jobs/spandedup_job.py): bootstrap,
+    incremental run equal to a full recompute on the new slice,
+    resume-noop on rerun, and the crash window (segments appended, docs
+    marker not) redone bit-identically."""
+    rows = {
+        0: "a b c d e f",        # owns "a b" "c d" "e f"
+        1: "a b x y",            # loses "a b", owns "x y"
+        2: "",                   # empty doc
+        10: "c d p q r s",       # w2: loses "c d" to doc 0
+        11: "p q n m",           # w2: loses "p q" to doc 10 (new-vs-new)
+        12: "zz ww",             # w2: all fresh
+    }
+    w1 = str(tmp_path / "w1")
+    w2 = str(tmp_path / "w2")
+    spark.createDataFrame(
+        [(i, rows[i]) for i in (0, 1, 2)], ["doc_id", "text"]
+    ).write.parquet(w1)
+    spark.createDataFrame(
+        [(i, rows[i]) for i in (10, 11, 12)], ["doc_id", "text"]
+    ).write.parquet(w2)
+    state = str(tmp_path / "state")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(docs_dir, out_dir):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "spandedup_job.py"),
+             "--documents", docs_dir, "--state", state,
+             "--out", out_dir, "--k", "2", "--cores", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(w1, str(tmp_path / "out1"))
+    assert s1["mode"] == "bootstrap"
+    assert s1["docs_in"] == 3 and s1["segments_removed"] == 1  # doc 1's "a b"
+    assert s1["segments_added"] == 4  # "a b" "c d" "e f" "x y"
+
+    s2 = run(w2, str(tmp_path / "out2"))
+    assert s2["mode"] == "incremental"
+    assert s2["docs_in"] == 3 and s2["corpus_docs"] == 6
+    assert s2["segments_removed"] == 2  # 10's "c d", 11's "p q"
+    assert s2["segments_added"] == 4   # "p q" "r s" "n m" "zz ww"
+
+    # incremental == full recompute restricted to the new slice
+    from chapterbridge_ocr_worker_spark.operators.curation import segment_dedup
+
+    full = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["text_clean"])
+        for r in segment_dedup(
+            spark.createDataFrame(list(rows.items()), ["doc_id", "text"]), k=2
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["text_clean"])
+        for r in spark.read.parquet(str(tmp_path / "out2" / "cleaned")).collect()
+    }
+    assert got == full
+
+    # rerun of the committed slice: no-op, no state mutation
+    s2b = run(w2, str(tmp_path / "out2b"))
+    assert s2b["mode"] == "resume-noop" and s2b["skipped_done"] == 3
+
+    # CRASH WINDOW: un-commit week2's docs marker (the LAST append); the
+    # rerun must redo the slice bit-identically even though the crashed
+    # attempt's segment rows are already in state
+    import json as _json
+    import shutil
+
+    docs_path = os.path.join(state, "docs")
+    with open(os.path.join(docs_path, "_live_snapshots.json")) as f:
+        manifest = _json.load(f)
+    victim = manifest["snapshots"].pop()  # week2's marker
+    with open(os.path.join(docs_path, "_live_snapshots.json"), "w") as f:
+        _json.dump(manifest, f)
+    shutil.rmtree(os.path.join(docs_path, victim))
+
+    s2c = run(w2, str(tmp_path / "out2c"))
+    assert s2c["mode"] == "incremental"
+    assert s2c["segments_removed"] == 2 and s2c["segments_added"] == 4
+    redo = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"], r["text_clean"])
+        for r in spark.read.parquet(str(tmp_path / "out2c" / "cleaned")).collect()
+    }
+    assert redo == full
+    # state membership equals the union's distinct segments (duplicate
+    # snapshot rows are membership-invisible and compacted away later)
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    segs = {
+        r["seg"]
+        for r in tables.read_table(spark, state, "segments").collect()
+    }
+    assert segs == {"a b", "c d", "e f", "x y", "p q", "r s", "n m", "zz ww"}
