@@ -419,19 +419,29 @@ def incremental_segment_dedup(
     recompute over the union restricted to new docs — pinned by test.
 
     Scale shape: everything is |new|-sized except one pass over the prior
-    segment-set table, which enters as a narrow single-column semi-join
-    (no prior TEXT is re-read or re-segmented; at 10^12 docs the prior
-    set read can be cut to |new|-touched buckets by bucketing both sides
-    on hash(seg), the same plan `incremental_dedup` pins for bands).
+    segment-set table — and that pass is a STREAMING scan, not a shuffle:
+    the prior set is semi-joined against the slice's distinct segments
+    (|new|-sized, so AQE broadcasts it), producing the small "already
+    seen" hit set that then broadcasts back onto the slice. The prior
+    table is never shuffled or re-derived from text; at 10^12 docs its
+    scan can be cut further to |new|-touched buckets by bucketing both
+    sides on hash(seg), the same plan `incremental_dedup` pins for bands.
     """
     segs = doc_segments(new_docs, k, id_col=id_col, text_col=text_col)
     owners = segs.groupBy("seg").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("own")
     )
-    prior = prior_segments.select("seg").distinct().withColumn("_prior", F.lit(1))
+    # hits = prior ∩ new-slice segments: |hits| <= |new segs|, so both
+    # joins around the corpus-sized prior table avoid shuffling it
+    hits = (
+        prior_segments.select("seg")
+        .join(segs.select("seg").distinct(), "seg", "left_semi")
+        .distinct()
+        .withColumn("_prior", F.lit(1))
+    )
     flagged = (
         segs.join(owners, "seg")
-        .join(prior, "seg", "left")
+        .join(hits, "seg", "left")
         .withColumn(
             "keep",
             F.col("_prior").isNull()
