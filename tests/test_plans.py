@@ -352,3 +352,47 @@ def test_curation_suite_plan_hygiene(spark):
     # corpus through one task)
     plan = pi.formatted(QUERIES["curate_shard_pack"].fn(spark, SF))
     assert "hashpartitioning(bucket" in plan
+
+
+def test_incremental_segment_dedup_prior_set_shuffle_free(spark, tmp_path):
+    """incremental_segment_dedup: the corpus-sized prior segment set must
+    enter as a FileScan that is NEVER shuffled — it is semi-joined against
+    the slice's distinct segments (broadcast) and the hit set broadcasts
+    back. An Exchange directly above the segset scan means the prior table
+    got hash-partitioned, which at 10^12 docs is a corpus-wide shuffle
+    every weekly run."""
+    import re
+
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        incremental_segment_dedup,
+        materialize_segment_set,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seg_path = str(tmp_path / "segset")
+    materialize_segment_set(docs.filter("doc_id % 5 != 0"), seg_path, k=3)
+    out = incremental_segment_dedup(
+        docs.filter("doc_id % 5 = 0"), spark.read.parquet(seg_path), k=3
+    )
+    plan = pi.formatted(out)
+    assert "segset" in plan and "CartesianProduct" not in plan
+    # find the segset scan's node id in the detail section, then walk the
+    # operator tree UP from that scan to the enclosing LeftSemi join: every
+    # line on the way must be exchange-free (the prior table streams into a
+    # BroadcastHashJoin whose build side is the slice's distinct segments)
+    m = re.search(r"\((\d+)\) Scan parquet[\s\S]{0,600}?Location:[^\n]*segset", plan)
+    assert m, "segset scan not found in plan detail"
+    sid = m.group(1)
+    tree = plan.split("\n\n")[0].splitlines()
+    (scan_line,) = [i for i, l in enumerate(tree) if f"({sid})" in l]
+    path = []
+    for i in range(scan_line, -1, -1):
+        path.append(tree[i])
+        if "Join LeftSemi" in tree[i]:
+            break
+    else:
+        raise AssertionError("segset scan not under a LeftSemi join")
+    assert "BroadcastHashJoin LeftSemi" in path[-1]
+    assert not any("Exchange" in l for l in path[:-1]), path
+    assert pi.count_broadcast_joins(out) >= 2
+    assert out.count() >= 0
