@@ -3083,6 +3083,36 @@ def curate_segment_dedup_q(spark, sf_dir):
     return segment_dedup(t(spark, sf_dir, "documents"), k=3)
 
 
+@q(
+    "curate_source_gate",
+    """
+    WITH per_src AS (
+      SELECT source,
+             SUM(len(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g')))
+               AS alpha_chars,
+             SUM(len(COALESCE(text, ''))) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    corpus AS (SELECT SUM(alpha_chars) AS c_alpha, SUM(total_chars) AS c_total
+               FROM per_src),
+    kept AS (SELECT source FROM per_src, corpus
+             WHERE alpha_chars * c_total >= c_alpha * total_chars)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN kept USING (source)
+    """,
+    "doc-level application of the source quality gate: documents of kept "
+    "sources via broadcast semi-join (#sources << corpus)",
+)
+def curate_source_gate_q(spark, sf_dir):
+    from .operators.curation import source_quality
+
+    docs = t(spark, sf_dir, "documents")
+    kept = source_quality(docs).filter("keep").select("source")
+    return docs.join(F.broadcast(kept), "source", "left_semi").select(
+        "doc_id", "source"
+    )
+
+
 def ensure_segment_prior_set(spark, sf_dir) -> str:
     """Build-once 'last week's corpus' segment set for the incremental
     span-dedup query: the prior 60% of documents segmented (k=3) to a
@@ -3316,6 +3346,7 @@ _REGISTRY_ORDER = [
     "decontam_overlap",
     "curate_shard_pack",
     "curate_source_quality",
+    "curate_source_gate",
 ]
 
 
