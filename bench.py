@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "curate_source_quality",
     "curate_segment_dedup",
     "curate_segment_dedup_incremental",
+    "text_lm_score",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

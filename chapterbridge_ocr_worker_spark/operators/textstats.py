@@ -134,6 +134,73 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-style LM quality score (the CCNet filtering signal,
+    self-trained): fit a word-bigram model on the corpus itself, then score
+    every document by its average log-probability under that model.
+    Low-probability docs are the gibberish/boilerplate tail a pre-training
+    pipeline drops; because the model is trained on the scored corpus, every
+    observed bigram has a count and no smoothing constant enters the twin.
+
+    Returns one row per document with >=1 bigram:
+    (doc_id, n_bigrams, avg_logprob 4dp, ppl 4dp where ppl=exp(-avg)).
+
+    Determinism across engines: float summation is not associative, so the
+    per-doc total is NOT a groupBy sum — the log-prob terms are collected,
+    sorted by bigram position, and folded left-to-right with F.aggregate;
+    the DuckDB twin folds the identically-ordered list with list_reduce.
+    Same doubles, same order, bit-identical totals up to the engines'
+    1-ulp ln() latitude, absorbed by the 4dp round.
+
+    Scale shape (10^12 docs): two map-side-combined count shuffles build the
+    model (bigram vocab grows sublinearly in corpus size); the scoring join
+    shuffles exploded pairs on (w1,w2)/(w1) — Zipf-skewed on stopword heads,
+    which is exactly the AQE skew-join case (conf.py enables it); the final
+    regroup shuffles by doc_id. No Python anywhere; whole-stage codegen
+    end-to-end.
+    """
+    tk = tokens(F.col(text_col))
+    n = F.size(F.col("tk"))
+    base = df.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    bigrams = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("tk"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = base.select(
+        "doc_id", F.posexplode(bigrams).alias("pos", "bg")
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            "pos",
+            F.log(F.col("c2") / F.col("c1").cast("double")).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("lp").alias("lp")))
+        ).alias("terms"),
+    )
+    total = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["lp"]
+    )
+    avg = F.round(total / F.col("n_bigrams"), 4)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
 def corpus_language_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language corpus inventory: docs / total tokens / total chars —
     THE question a training run asks of a corpus ("how many tokens do I

@@ -1273,6 +1273,50 @@ def text_ngram5(spark, sf_dir):
     return d.select("doc_id", distinct_char_ngrams(F.col("text"), 5).alias("n_grams"))
 
 
+@q(
+    "text_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, g.i AS pos, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ), cnt2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), cnt1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+    ), scored AS (
+      SELECT p.doc_id, p.pos, ln(cnt2.c2 / CAST(cnt1.c1 AS DOUBLE)) AS lp
+      FROM pairs p
+      JOIN cnt2 USING (w1, w2)
+      JOIN cnt1 USING (w1)
+    ), agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(printf('%.4f', total / n_bigrams) AS DOUBLE) AS avg_logprob,
+           CAST(printf('%.4f',
+             exp(-CAST(printf('%.4f', total / n_bigrams) AS DOUBLE))
+           ) AS DOUBLE) AS ppl
+    FROM agg
+    """,
+    "perplexity-style LM quality score (CCNet filtering signal): corpus-"
+    "trained word-bigram model, per-doc avg log-prob + perplexity. Float "
+    "fold is position-ordered in BOTH engines (F.aggregate over a sorted "
+    "array vs list_reduce over an ORDER BY pos list) so the sum is "
+    "order-deterministic, then 4dp-rounded for the hash",
+)
+def text_lm_score_q(spark, sf_dir):
+    from .operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(t(spark, sf_dir, "documents"))
+
+
 _LANGED_CTE_SQL = """
     WITH v AS (
       SELECT doc_id, text,
@@ -3347,6 +3391,7 @@ _REGISTRY_ORDER = [
     "curate_shard_pack",
     "curate_source_quality",
     "curate_source_gate",
+    "text_lm_score",
 ]
 
 

@@ -959,3 +959,29 @@ def test_multimodal_resize_frames_features(spark):
     assert len(ft["m/tall"]["features"]) == 7
     assert ft["m/tall"]["features"][3] == 3.0  # n_regions
     assert ft["m/bad"]["error"] is not None
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Corpus: c2(a,b)=3, c2(b,a)=1, c2(a,c)=1; c1(a)=4, c1(b)=1.
+    Doc 1 'a b a b' -> (2*ln(3/4) + ln(1/1))/3; doc 3's rare (a,c) bigram
+    makes it the lowest-scoring (the gibberish tail a CCNet-style gate
+    drops); a single-token doc has no bigrams and no row."""
+    import math
+
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4: one token, zero bigrams
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == round(2 * math.log(3 / 4) / 3, 4)
+    assert out[2]["avg_logprob"] == round(math.log(3 / 4), 4)
+    assert out[3]["avg_logprob"] == round(math.log(1 / 4), 4)
+    assert out[3]["ppl"] == round(math.exp(-round(math.log(1 / 4), 4)), 4)
+    worst = min(out.values(), key=lambda r: r["avg_logprob"])
+    assert worst["doc_id"] == 3
