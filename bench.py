@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "curate_segment_dedup",
     "curate_segment_dedup_incremental",
     "text_lm_score",
+    "url_dedup_keep",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

@@ -1317,6 +1317,96 @@ def text_lm_score_q(spark, sf_dir):
     return bigram_lm_score(t(spark, sf_dir, "documents"))
 
 
+# URL synthesis + canonicalization twins (operators/urls.py, rule-for-rule).
+# regexp_replace needs no 'g' flag: both patterns are anchored (<=1 match);
+# Spark's replace-all semantics coincide.
+_URL_CANON_CTE = """
+    WITH urls AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+        || (CASE WHEN doc_id % 7 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                 WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END)
+        || '/Articles/item-' || CAST(doc_id % 100 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+                 WHEN doc_id % 4 = 1
+                 THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&ref=tw'
+                 ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END)
+        || (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(
+          regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)),
+          '^www\\.', '') AS host,
+        regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+          ':([0-9]+)$', 1) AS port,
+        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS raw_path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM urls
+    ), assembled AS (
+      SELECT doc_id, url, scheme, host,
+        CASE WHEN port <> ''
+              AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+             THEN ':' || port ELSE '' END AS port_part,
+        CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+        array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          p -> p <> '' AND NOT starts_with(p, 'utm_')
+               AND NOT starts_with(p, 'ref='))), '&') AS joined
+      FROM parts
+    ), canon AS (
+      SELECT doc_id, url,
+        scheme || '://' || host || port_part || path
+        || CASE WHEN joined <> '' THEN '?' || joined ELSE '' END AS canon_url
+      FROM assembled
+    )
+"""
+
+
+@q(
+    "url_canonicalize",
+    _URL_CANON_CTE + "SELECT doc_id, url, canon_url FROM canon",
+    "URL canonicalization (crawl front door): lowercase scheme/host, strip "
+    "www, drop default ports, trim trailing slashes, drop utm_*/ref params, "
+    "sort the rest, drop fragments. Pure column expressions; the messy "
+    "input URL is synthesized deterministically from doc_id (the testdata "
+    "carries no URL column) with engineered collision classes",
+)
+def url_canonicalize_q(spark, sf_dir):
+    from .operators.urls import canonicalize_url, synth_url
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select("doc_id", synth_url(F.col("doc_id")).alias("url"))
+    return u.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canon_url"))
+
+
+@q(
+    "url_dedup_keep",
+    _URL_CANON_CTE
+    + """
+    SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_fetches
+    FROM canon GROUP BY canon_url
+    """,
+    "URL-level dedup: keep-oldest per canonical URL (the pre-content-dedup "
+    "collapse every crawl pipeline runs first). One map-side-combined "
+    "groupBy on the canonical string; near-unique key space at web scale",
+)
+def url_dedup_keep_q(spark, sf_dir):
+    from .operators.urls import synth_url, url_dedup
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select("doc_id", synth_url(F.col("doc_id")).alias("url"))
+    return url_dedup(u)
+
+
 _LANGED_CTE_SQL = """
     WITH v AS (
       SELECT doc_id, text,
@@ -3392,6 +3482,8 @@ _REGISTRY_ORDER = [
     "curate_source_quality",
     "curate_source_gate",
     "text_lm_score",
+    "url_canonicalize",
+    "url_dedup_keep",
 ]
 
 

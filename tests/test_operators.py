@@ -985,3 +985,43 @@ def test_bigram_lm_score_hand_computed(spark):
     assert out[3]["ppl"] == round(math.exp(-round(math.log(1 / 4), 4)), 4)
     worst = min(out.values(), key=lambda r: r["avg_logprob"])
     assert worst["doc_id"] == 3
+
+
+def test_url_canonicalize_rules(spark):
+    """Each canonicalization rule pinned on a hand-written URL: case,
+    www-strip, default-port drop vs explicit-port keep, trailing-slash trim
+    (root survives), tracking-param drop + param sort, fragment drop."""
+    from chapterbridge_ocr_worker_spark.operators.urls import (
+        canonicalize_url,
+        url_dedup,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/b/?z=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&z=2"),
+        ("http://site.org:80/", "http://site.org/"),
+        ("http://site.org:8080/p", "http://site.org:8080/p"),  # real port kept
+        ("https://site.org", "https://site.org/"),             # empty path -> /
+        ("http://a.b/p?ref=tw&b=2&a=1", "http://a.b/p?a=1&b=2"),
+        ("http://a.b/p?utm_x=1", "http://a.b/p"),               # all params dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["doc_id", "url"]
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+    # dedup: cases 0 and a cosmetic variant collapse; keep-min-id wins
+    dup = spark.createDataFrame(
+        [(10, cases[0][0]), (3, "https://example.com/a/b?a=1&z=2&utm_y=0")],
+        ["doc_id", "url"],
+    )
+    rows = url_dedup(dup).collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 3 and rows[0]["n_fetches"] == 2
