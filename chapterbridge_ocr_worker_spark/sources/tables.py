@@ -214,6 +214,98 @@ def read_table(
     return reader.parquet(*parquet_dirs)
 
 
+def _snap_millis(snap_name: str) -> int | None:
+    """Commit milliseconds embedded in a snapshot name, or None for names
+    this module didn't mint (legacy fallback listings)."""
+    try:
+        return int(snap_name.split("-")[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def list_snapshots(root: str, name: str) -> list[dict]:
+    """The table's committed snapshots in COMMIT order (manifest position) —
+    the Iceberg `table.snapshots()` analogue. Each entry carries the name,
+    its ordinal, the embedded commit timestamp, and the parquet file count.
+    Metadata-only: no data is read, so this is O(snapshots) at any scale."""
+    path = table_path(root, name)
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for i, s in enumerate(_snapshot_order(path)):
+        d = os.path.join(path, s)
+        if not os.path.isdir(d):
+            continue
+        out.append(
+            {
+                "name": s,
+                "ordinal": i,
+                "commit_millis": _snap_millis(s),
+                "n_files": sum(1 for f in os.listdir(d) if f.endswith(".parquet")),
+            }
+        )
+    return out
+
+
+def read_table_asof(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    snapshot: str | None = None,
+    as_of_millis: int | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame | None:
+    """TIME TRAVEL: read the table as it was at a past commit — the union of
+    the live-snapshot prefix up to and including ``snapshot`` (a name from
+    list_snapshots) or the last snapshot committed at or before
+    ``as_of_millis``. The Iceberg `VERSION AS OF` / `TIMESTAMP AS OF`
+    analogue: pure metadata selection over the manifest's commit order, no
+    data rewrite, so it costs the same as a current read at any scale.
+
+    History retention is the compaction policy: compact_table collapses all
+    live snapshots into one (Iceberg `expire_snapshots`), after which as-of
+    reads older than the compaction raise — loudly, because silently
+    returning the post-compaction union would misrepresent history.
+
+    Returns None when the table doesn't exist or no snapshot had been
+    committed at ``as_of_millis``.
+    """
+    if (snapshot is None) == (as_of_millis is None):
+        raise ValueError("pass exactly one of snapshot= or as_of_millis=")
+    path = table_path(root, name)
+    if not os.path.isdir(path):
+        return None
+    order = _snapshot_order(path)
+    if snapshot is not None:
+        if snapshot not in order:
+            raise ValueError(
+                f"snapshot {snapshot!r} is not in table {name!r}'s live "
+                f"history ({len(order)} snapshots) — either it never "
+                "existed or compaction expired it"
+            )
+        idx = order.index(snapshot)
+    else:
+        eligible = [
+            i
+            for i, s in enumerate(order)
+            if (_snap_millis(s) or 0) <= as_of_millis
+        ]
+        if not eligible:
+            return None
+        idx = max(eligible)
+    dirs = [
+        os.path.join(path, s)
+        for s in order[: idx + 1]
+        if os.path.isdir(os.path.join(path, s))
+    ]
+    if not dirs:
+        return None
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*dirs)
+
+
 def read_table_latest(
     spark: SparkSession, root: str, name: str, keys: list[str]
 ) -> DataFrame | None:

@@ -362,3 +362,65 @@ def test_operator_cache_release(spark, tmp_path):
     minhash_candidates(docs).count()
     assert release_caches() == 1  # the signature cache was tracked + freed
     assert release_caches() == 0  # idempotent
+
+
+def test_time_travel_snapshot_and_timestamp(spark, tmp_path):
+    """Iceberg-parity time travel: as-of a snapshot name returns exactly the
+    commit-prefix union; as-of a timestamp resolves to the last commit at or
+    before it; list_snapshots reports commit order."""
+    import time as _time
+
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    root = str(tmp_path)
+    batches = [[(1, "a")], [(2, "b")], [(3, "c")]]
+    for rows in batches:
+        tables.append_snapshot(
+            spark.createDataFrame(rows, ["id", "v"]), root, "tt"
+        )
+        _time.sleep(0.005)  # distinct commit millis for the timestamp leg
+
+    snaps = tables.list_snapshots(root, "tt")
+    assert [s["ordinal"] for s in snaps] == [0, 1, 2]
+    millis = [s["commit_millis"] for s in snaps]
+    assert millis == sorted(millis) and None not in millis
+
+    def ids(df):
+        return sorted(r["id"] for r in df.collect())
+
+    assert ids(tables.read_table_asof(spark, root, "tt", snapshot=snaps[1]["name"])) == [1, 2]
+    assert ids(tables.read_table_asof(spark, root, "tt", snapshot=snaps[2]["name"])) == [1, 2, 3]
+    # timestamp between commit 0 and 1 -> only the first batch
+    assert ids(tables.read_table_asof(spark, root, "tt", as_of_millis=millis[0])) == [1]
+    # before any commit -> None; unknown snapshot -> loud
+    assert tables.read_table_asof(spark, root, "tt", as_of_millis=millis[0] - 10_000) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="never existed or compaction"):
+        tables.read_table_asof(spark, root, "tt", snapshot="snap-0-deadbeef")
+    with _pytest.raises(ValueError, match="exactly one"):
+        tables.read_table_asof(spark, root, "tt")
+
+
+def test_time_travel_history_expires_on_compaction(spark, tmp_path):
+    """compact_table is the retention policy: pre-compaction snapshots
+    leave the live history and as-of reads on them raise instead of
+    silently returning post-compaction data."""
+    import pytest as _pytest
+
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    root = str(tmp_path)
+    for rows in ([(1, "a")], [(2, "b")]):
+        tables.append_snapshot(
+            spark.createDataFrame(rows, ["id", "v"]), root, "tt2"
+        )
+    old = tables.list_snapshots(root, "tt2")[0]["name"]
+    tables.compact_table(spark, root, "tt2")
+    snaps = tables.list_snapshots(root, "tt2")
+    assert len(snaps) == 1  # history collapsed
+    with _pytest.raises(ValueError, match="compaction expired"):
+        tables.read_table_asof(spark, root, "tt2", snapshot=old)
+    # the compacted snapshot itself still time-travels (full data)
+    df = tables.read_table_asof(spark, root, "tt2", snapshot=snaps[0]["name"])
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
