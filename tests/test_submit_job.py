@@ -433,3 +433,95 @@ def test_spandedup_job_cli(spark, tmp_path):
         for r in tables.read_table(spark, state, "segments").collect()
     }
     assert segs == {"a b", "c d", "e f", "x y", "p q", "r s", "n m", "zz ww"}
+
+
+def test_embdedup_job_cli(spark, tmp_path):
+    """Weekly embedding near-dup entrypoint (jobs/embdedup_job.py):
+    bootstrap, incremental equal to full-on-new-pairs, resume-noop, the
+    crash window (sigs appended, vecs marker not) redone with forced
+    keys-dedup compaction, and IVF index maintenance stats."""
+    import json as _json
+    import shutil
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e3 = [0.0, 0.0, 1.0, 0.0]
+    week1 = [(0, e1), (1, e1), (2, e2)]            # (0,1) exact dup
+    week2 = [(10, e1), (11, e3), (12, e3)]         # 10 dups prior; (11,12) new-vs-new
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    schema = "vec_id: long, embedding: array<float>"
+    spark.createDataFrame(week1, schema).write.parquet(w1)
+    spark.createDataFrame(week2, schema).write.parquet(w2)
+    state = str(tmp_path / "state")
+    ivf = str(tmp_path / "ivf")
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_build_index,
+    )
+
+    ivf_build_index(spark.read.parquet(w1), ivf, n_centroids=2)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(emb_dir, out_dir, *extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "embdedup_job.py"),
+             "--embeddings", emb_dir, "--state", state,
+             "--out", out_dir, "--cores", "4", *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(w1, str(tmp_path / "out1"))
+    assert s1["mode"] == "bootstrap"
+    assert s1["pairs"] == 1 and s1["dups"] == 1  # (0,1); 1 is the dup
+
+    s2 = run(w2, str(tmp_path / "out2"), "--ivf-index", ivf)
+    assert s2["mode"] == "incremental" and s2["corpus_vectors"] == 6
+    assert s2["pairs"] == 3          # (0,10) (1,10) (11,12)
+    assert s2["dups"] == 2           # 10 and 12
+    assert s2["ivf"]["n_vectors"] == 6 and s2["ivf"]["rebuilt"] is False
+    got = {
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in spark.read.parquet(str(tmp_path / "out2" / "pairs")).collect()
+    }
+    assert got == {(0, 10, 1.0), (1, 10, 1.0), (11, 12, 1.0)}
+    keep = {
+        r["vec_id"]: r["is_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out2" / "keep")).collect()
+    }
+    assert keep == {10: True, 11: False, 12: True}
+
+    s2b = run(w2, str(tmp_path / "out2b"))
+    assert s2b["mode"] == "resume-noop" and s2b["skipped_done"] == 3
+
+    # CRASH WINDOW: un-commit week2's vecs marker (the LAST append); the
+    # redo must produce identical outputs AND force a keys=["id"] sig
+    # compaction so the duplicate snapshot never inflates bucket counts
+    vecs_path = os.path.join(state, "vecs")
+    with open(os.path.join(vecs_path, "_live_snapshots.json")) as f:
+        manifest = _json.load(f)
+    victim = manifest["snapshots"].pop()
+    with open(os.path.join(vecs_path, "_live_snapshots.json"), "w") as f:
+        _json.dump(manifest, f)
+    shutil.rmtree(os.path.join(vecs_path, victim))
+
+    s2c = run(w2, str(tmp_path / "out2c"))
+    assert s2c["mode"] == "incremental"
+    assert s2c["crash_orphans"] == 3 and "sigs" in s2c["compacted"]
+    assert s2c["pairs"] == 3 and s2c["dups"] == 2
+    redo = {
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in spark.read.parquet(str(tmp_path / "out2c" / "pairs")).collect()
+    }
+    assert redo == got
+    # post-compaction state: exactly one signature row per vector
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    sig_rows = tables.read_table(spark, state, "sigs").collect()
+    assert len(sig_rows) == 6
+    assert sorted(r["id"] for r in sig_rows) == [0, 1, 2, 10, 11, 12]
