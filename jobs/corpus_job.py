@@ -4,9 +4,13 @@ Composes every curation gate into the pipeline a crawl actually runs
 through before it becomes a training mix (curate_job.py stops at
 dedup + inventory; this is the release pipeline):
 
-    near-dup cluster dedup      keep one representative per cluster
+    URL dedup (opt-in)          keep-oldest per canonical URL (crawl front door)
+      -> near-dup cluster dedup keep one representative per cluster
       -> span dedup (opt-in)    C4-style repeated-segment removal
       -> repetition gate        drop degenerate docs (Gopher-style)
+      -> LM quality floor (opt-in)  CCNet-style: drop docs whose avg
+                                bigram log-prob under the corpus-trained
+                                model falls below --lm-floor
       -> decontamination        drop docs overlapping an eval benchmark
       -> PII redaction          emails/phones/IPv4 -> placeholders
       -> temperature mixing     alpha=0.5 language rebalance to budget
@@ -65,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--segment-dedup-k", type=int, default=0,
                     help="k>0 enables corpus-wide k-token span dedup "
                     "after cluster dedup; docs emptied by it are dropped")
+    ap.add_argument("--url-col", default=None,
+                    help="input column carrying the fetch URL; enables "
+                    "stage-0 URL-level dedup (keep-oldest doc per "
+                    "canonical URL) before any content gate")
+    ap.add_argument("--lm-floor", type=float, default=None,
+                    help="enables the CCNet-style LM gate: drop docs whose "
+                    "avg bigram log-prob (corpus-trained model) is below "
+                    "this floor; docs with <2 tokens have no score and "
+                    "are dropped too")
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--max-adj-repeat", type=float, default=0.5)
     ap.add_argument("--max-top-bigram", type=float, default=0.5)
@@ -101,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id", "text", predicted_lang(F.col("text")).alias("lang")
         )
     funnel = {"docs_in": docs.count()}
+
+    # 0. URL-level dedup (opt-in): collapse refetches of the same page
+    # BEFORE any content gate pays for them — the crawl front door.
+    if args.url_col:
+        from chapterbridge_ocr_worker_spark.operators.urls import url_dedup
+
+        urls = raw.select("doc_id", F.col(args.url_col).alias("url"))
+        keep_urls = url_dedup(urls).select(F.col("keep_id").alias("doc_id"))
+        docs = docs.join(keep_urls, "doc_id", "left_semi")
+        funnel["after_url_dedup"] = docs.count()
 
     # 1. near-dup cluster dedup: one representative per transitive cluster
     cc_stats: dict = {}
@@ -148,6 +171,23 @@ def main(argv: list[str] | None = None) -> int:
     ).select("doc_id")
     docs = docs.join(bad, "doc_id", "left_anti")
     funnel["after_repetition"] = docs.count()
+
+    # 2b. LM quality floor (opt-in): the CCNet-shape gate. The bigram
+    # model is trained on the post-repetition corpus itself, so the gate
+    # is deterministic and self-calibrating; docs with <1 bigram have no
+    # score and are dropped (single-token docs carry no training signal).
+    if args.lm_floor is not None:
+        from chapterbridge_ocr_worker_spark.operators.textstats import (
+            bigram_lm_score,
+        )
+
+        keep_lm = (
+            bigram_lm_score(docs)
+            .filter(F.col("avg_logprob") >= args.lm_floor)
+            .select("doc_id")
+        )
+        docs = docs.join(keep_lm, "doc_id", "left_semi")
+        funnel["after_lm"] = docs.count()
 
     # 3. decontamination against the eval benchmark (optional)
     if args.benchmark:

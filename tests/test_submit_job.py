@@ -525,3 +525,45 @@ def test_embdedup_job_cli(spark, tmp_path):
     sig_rows = tables.read_table(spark, state, "sigs").collect()
     assert len(sig_rows) == 6
     assert sorted(r["id"] for r in sig_rows) == [0, 1, 2, 10, 11, 12]
+
+
+def test_corpus_job_url_and_lm_stages(spark, tmp_path):
+    """The two opt-in round-5 gates: stage-0 URL dedup (doc 2 refetches
+    doc 1's page under cosmetic URL noise) and the CCNet-style LM floor.
+    Hand-computed model over the post-URL-dedup corpus {1,3,4}:
+    c1(x)=3 from (x,y)x2+(x,q); c1(q)=2 from (q,r)+(q,m).
+    doc 1 avg = 2*ln(2/3)/3 = -0.270 (kept); doc 3: every bigram unique
+    continuation -> 0 (kept); doc 4 avg = (ln(1/3)+ln(1/2)+0)/3 = -0.597
+    (dropped at floor -0.5)."""
+    rows = [
+        (1, "x y x y", "http://A.com/p?utm_s=1"),
+        (2, "totally different words here", "HTTP://a.com:80/p"),  # same canon
+        (3, "p q r s", "http://b.com/q"),
+        (4, "x q m n", "http://c.com/r"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "url"]).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "corpus")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_job.py"),
+           "--documents", docs_dir, "--out", out_dir,
+           "--url-col", "url", "--lm-floor", "-0.5",
+           # doc 1's top bigram is 2/3 of its bigrams: raise the repetition
+           # cap so only the stages under test fire
+           "--max-top-bigram", "0.9",
+           "--budget-num", "1", "--budget-den", "1",
+           "--shard-tokens", "16", "--n-buckets", "2", "--cores", "4"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 4
+    assert stats["after_url_dedup"] == 3   # doc 2's URL canonicalizes to doc 1's
+    assert stats["after_repetition"] == 3
+    assert stats["after_lm"] == 2          # doc 4 below the -0.5 floor
+    final = {r["doc_id"] for r in
+             spark.read.parquet(f"{out_dir}/corpus").collect()}
+    assert final == {1, 3}
