@@ -396,3 +396,19 @@ def test_incremental_segment_dedup_prior_set_shuffle_free(spark, tmp_path):
     assert not any("Exchange" in l for l in path[:-1]), path
     assert pi.count_broadcast_joins(out) >= 2
     assert out.count() >= 0
+
+
+def test_lm_score_and_url_plan_hygiene(spark):
+    """Round-5 additions stay JVM-side and shuffle-lean: the LM score is
+    pure column expressions (no Python eval anywhere) with map-side
+    partial counts feeding the model aggregates; URL dedup is a narrow
+    map + one partial-aggregated groupBy on the canonical string."""
+    plan = pi.formatted(QUERIES["text_lm_score"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the model counts
+
+    plan = pi.formatted(QUERIES["url_dedup_keep"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(canon_url" in plan
+    assert "partial_min" in plan or "partial_count" in plan
