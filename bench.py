@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "curate_segment_dedup",
     "curate_segment_dedup_incremental",
     "text_lm_score",
+    "text_lm_score_frozen",
     "url_dedup_keep",
 ]
 

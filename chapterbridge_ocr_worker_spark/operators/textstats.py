@@ -161,17 +161,7 @@ def bigram_lm_score(
     regroup shuffles by doc_id. No Python anywhere; whole-stage codegen
     end-to-end.
     """
-    tk = tokens(F.col(text_col))
-    n = F.size(F.col("tk"))
-    base = df.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
-    bigrams = F.zip_with(
-        F.slice(F.col("tk"), F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.slice(F.col("tk"), F.lit(2), F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    pairs = base.select(
-        "doc_id", F.posexplode(bigrams).alias("pos", "bg")
-    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _doc_bigrams(df, text_col, id_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     scored = (
@@ -196,6 +186,104 @@ def bigram_lm_score(
     return per_doc.select(
         "doc_id",
         "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, w1, w2) — one row per bigram occurrence, position
+    kept so per-doc float folds can run in a deterministic order."""
+    tk = tokens(F.col(text_col))
+    n = F.size(F.col("tk"))
+    base = df.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    bigrams = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("tk"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return base.select("doc_id", F.posexplode(bigrams).alias("pos", "bg")).select(
+        "doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The trainable state of the LM gate: ``(w1, w2, c2)`` bigram counts.
+    Head counts (c1) and the corpus total derive from it by re-aggregation,
+    so this single table IS the model — and counts are additive, which
+    makes the model trivially incremental: next week's slice trains its own
+    count table and a groupBy-sum merges the snapshots (the same
+    snapshot-append + keyed-compaction lifecycle as the dedup state)."""
+    return (
+        _doc_bigrams(df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+
+
+def frozen_lm_score(
+    new_docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a NEW slice against a FROZEN prior bigram model — the real
+    CCNet deployment shape (the reference LM is trained once on a clean
+    corpus, then every crawl slice is scored against it), and the
+    frozen-prior sibling of bigram_lm_score (which self-trains).
+
+    Out-of-vocabulary smoothing, mirrored exactly in the SQL twin:
+      seen bigram            ln(c2 / c1)
+      seen head, new tail    ln(1 / (c1 + 1))     (+1-smoothed continuation)
+      unseen head            ln(1 / (N + 1))      (N = total model bigrams)
+
+    Returns (doc_id, n_bigrams, n_oov, avg_logprob 4dp, ppl 4dp); docs
+    with <1 bigram have no row. The float fold is position-ordered (same
+    determinism discipline as bigram_lm_score).
+
+    Scale shape: |new|-sized — the prior corpus's text is never re-read;
+    the model table joins the exploded new-slice pairs (two left joins on
+    (w1,w2)/(w1), broadcastable when the vocab is; AQE skew-join covers the
+    Zipf heads otherwise), the N scalar is a 1-row broadcast cross join.
+    """
+    pairs = _doc_bigrams(new_docs, text_col, id_col)
+    c1tab = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    total = model.agg(F.sum("c2").alias("n_model"))
+    scored = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(c1tab, ["w1"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.log(F.col("c2") / F.col("c1").cast("double")),
+            )
+            .when(
+                F.col("c1").isNotNull(),
+                F.log(F.lit(1.0) / (F.col("c1") + 1).cast("double")),
+            )
+            .otherwise(F.log(F.lit(1.0) / (F.col("n_model") + 1).cast("double")))
+            .alias("lp"),
+            F.col("c2").isNull().cast("int").alias("oov"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("oov").alias("n_oov"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("lp").alias("lp")))
+        ).alias("terms"),
+    )
+    total_lp = F.aggregate(F.col("terms"), F.lit(0.0), lambda acc, s: acc + s["lp"])
+    avg = F.round(total_lp / F.col("n_bigrams"), 4)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )

@@ -1317,6 +1317,60 @@ def text_lm_score_q(spark, sf_dir):
     return bigram_lm_score(t(spark, sf_dir, "documents"))
 
 
+@q(
+    "text_lm_score_frozen",
+    f"""
+    WITH toksall AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS tk
+      FROM documents
+    ), pairsall AS (
+      SELECT doc_id, g.i AS pos, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      FROM toksall, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ), model AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM pairsall WHERE doc_id < 250
+      GROUP BY w1, w2
+    ), c1tab AS (
+      SELECT w1, SUM(c2) AS c1 FROM model GROUP BY w1
+    ), totals AS (
+      SELECT SUM(c2) AS n_model FROM model
+    ), scored AS (
+      SELECT p.doc_id, p.pos,
+        CASE WHEN m.c2 IS NOT NULL THEN ln(m.c2 / CAST(c.c1 AS DOUBLE))
+             WHEN c.c1 IS NOT NULL THEN ln(1.0 / CAST(c.c1 + 1 AS DOUBLE))
+             ELSE ln(1.0 / CAST(t.n_model + 1 AS DOUBLE)) END AS lp,
+        CASE WHEN m.c2 IS NULL THEN 1 ELSE 0 END AS oov
+      FROM pairsall p
+      LEFT JOIN model m USING (w1, w2)
+      LEFT JOIN c1tab c USING (w1)
+      CROSS JOIN totals t
+      WHERE p.doc_id >= 250
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+           CAST(printf('%.4f', total / n_bigrams) AS DOUBLE) AS avg_logprob,
+           CAST(printf('%.4f',
+             exp(-CAST(printf('%.4f', total / n_bigrams) AS DOUBLE))
+           ) AS DOUBLE) AS ppl
+    FROM agg
+    """,
+    "frozen-prior LM scoring (the CCNet deployment shape): docs >= 250 "
+    "scored against the bigram model trained on docs < 250, with explicit "
+    "OOV smoothing (seen-head +1 continuation / unseen-head 1/(N+1)). "
+    "|new|-sized: the prior corpus enters only as its count table",
+)
+def text_lm_score_frozen_q(spark, sf_dir):
+    from .operators.textstats import bigram_model, frozen_lm_score
+
+    d = t(spark, sf_dir, "documents")
+    model = bigram_model(d.filter(F.col("doc_id") < 250))
+    return frozen_lm_score(d.filter(F.col("doc_id") >= 250), model)
+
+
 # URL synthesis + canonicalization twins (operators/urls.py, rule-for-rule).
 # regexp_replace needs no 'g' flag: both patterns are anchored (<=1 match);
 # Spark's replace-all semantics coincide.
@@ -3482,6 +3536,7 @@ _REGISTRY_ORDER = [
     "curate_source_quality",
     "curate_source_gate",
     "text_lm_score",
+    "text_lm_score_frozen",
     "url_canonicalize",
     "url_dedup_keep",
 ]

@@ -1025,3 +1025,30 @@ def test_url_canonicalize_rules(spark):
     rows = url_dedup(dup).collect()
     assert len(rows) == 1
     assert rows[0]["keep_id"] == 3 and rows[0]["n_fetches"] == 2
+
+
+def test_frozen_lm_score_oov_smoothing(spark):
+    """Model from 'a b a c': c2(a,b)=c2(b,a)=c2(a,c)=1; c1(a)=2, c1(b)=1;
+    N=3. Scoring 'a b z a q' exercises all three smoothing branches:
+    (a,b) seen -> ln(1/2); (b,z) seen head -> ln(1/(1+1)); (z,a) unseen
+    head -> ln(1/(3+1)); (a,q) seen head -> ln(1/(2+1))."""
+    import math
+
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        bigram_model,
+        frozen_lm_score,
+    )
+
+    model = bigram_model(
+        spark.createDataFrame([(0, "a b a c")], ["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        [(10, "a b z a q"), (11, "a b"), (12, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in frozen_lm_score(new, model).collect()}
+    assert set(out) == {10, 11}  # doc 12: no bigrams, no row
+    want10 = (math.log(0.5) + math.log(0.5) + math.log(0.25) + math.log(1 / 3)) / 4
+    assert out[10]["avg_logprob"] == round(want10, 4)
+    assert out[10]["n_bigrams"] == 4 and out[10]["n_oov"] == 3
+    assert out[11]["avg_logprob"] == round(math.log(0.5), 4)
+    assert out[11]["n_oov"] == 0
