@@ -223,6 +223,19 @@ def bigram_model(
     )
 
 
+def merge_bigram_models(*models: DataFrame) -> DataFrame:
+    """Fold per-slice model snapshots into one corpus model: bigram counts
+    are additive, so the merge is a union + groupBy-sum — model state can
+    follow the exact snapshot-append lifecycle of the dedup state tables
+    (append each weekly slice's bigram_model; merge on read or collapse at
+    compaction). Exactness is pinned by
+    tests/test_operators.test_bigram_model_counts_are_additive."""
+    out = models[0]
+    for m in models[1:]:
+        out = out.unionByName(m)
+    return out.groupBy("w1", "w2").agg(F.sum("c2").alias("c2"))
+
+
 def frozen_lm_score(
     new_docs: DataFrame,
     model: DataFrame,

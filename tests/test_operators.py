@@ -1052,3 +1052,23 @@ def test_frozen_lm_score_oov_smoothing(spark):
     assert out[10]["n_bigrams"] == 4 and out[10]["n_oov"] == 3
     assert out[11]["avg_logprob"] == round(math.log(0.5), 4)
     assert out[11]["n_oov"] == 0
+
+
+def test_bigram_model_counts_are_additive(spark):
+    """The incremental-model claim: training per slice and merging equals
+    training on the union (bigrams never cross doc boundaries, so doc
+    partitioning partitions the counts). Checked on real testdata."""
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        bigram_model,
+        merge_bigram_models,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = bigram_model(d)
+    merged = merge_bigram_models(
+        bigram_model(d.filter(F.col("doc_id") < 250)),
+        bigram_model(d.filter(F.col("doc_id") >= 250)),
+    )
+    f = {(r["w1"], r["w2"]): r["c2"] for r in full.collect()}
+    m = {(r["w1"], r["w2"]): r["c2"] for r in merged.collect()}
+    assert f == m and len(f) > 100
