@@ -3476,9 +3476,6 @@ _REGISTRY_ORDER = [
     "j4_anti_resume",
     "j6_upsert_latest",
     "w3_keep_oldest",
-    "w5_sessionize",
-    "asof_last_view_before_purchase",
-    "rollup_revenue",
     "q7_nation_volume",
     "d3_union_dedup",
     # round-5 training-data flagships rotated INTO the window (the five
@@ -3489,6 +3486,12 @@ _REGISTRY_ORDER = [
     "curate_mix_sample",
     "curate_segment_dedup",
     "curate_segment_dedup_incremental",
+    # third round-5 rotation: the LM + URL family (w5_sessionize,
+    # asof_last_view_before_purchase, rollup_revenue evicted to overflow,
+    # re-verified — see BENCH.md)
+    "text_lm_score",
+    "text_lm_score_frozen",
+    "url_dedup_keep",
     # --- driver window boundary (50) ---
     "q5_region_revenue",
     "corpus_lang_stats",
@@ -3535,10 +3538,12 @@ _REGISTRY_ORDER = [
     "curate_shard_pack",
     "curate_source_quality",
     "curate_source_gate",
-    "text_lm_score",
-    "text_lm_score_frozen",
     "url_canonicalize",
-    "url_dedup_keep",
+    # evicted in the round-5 third rotation (driver rows green since
+    # r01/r03; local oracle re-verification recorded in BENCH.md)
+    "w5_sessionize",
+    "asof_last_view_before_purchase",
+    "rollup_revenue",
 ]
 
 

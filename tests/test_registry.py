@@ -53,9 +53,6 @@ DRIVER_WINDOW = [
     "j4_anti_resume",
     "j6_upsert_latest",
     "w3_keep_oldest",
-    "w5_sessionize",
-    "asof_last_view_before_purchase",
-    "rollup_revenue",
     "q7_nation_volume",
     "d3_union_dedup",
     "emb_neardup_incremental",
@@ -63,6 +60,9 @@ DRIVER_WINDOW = [
     "curate_mix_sample",
     "curate_segment_dedup",
     "curate_segment_dedup_incremental",
+    "text_lm_score",
+    "text_lm_score_frozen",
+    "url_dedup_keep",
 ]
 
 
