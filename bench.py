@@ -47,6 +47,7 @@ from chapterbridge_ocr_worker_spark.queries import (
     ensure_dedup_prior_state,
     ensure_emb_prior_sigs,
     ensure_ivf_index,
+    ensure_pq_index,
     ensure_segment_prior_set,
     streaming_scratch_dirs,
 )
@@ -73,6 +74,8 @@ BENCH_QUERIES = [
     "emb_neardup_incremental",
     "emb_ivf_topk",
     "emb_ivf_indexed",
+    "emb_pq_topk",
+    "emb_pq_indexed",
     "f13_output_docs",
     "emb_cosine_topk",
     "emb_ann_lsh",
@@ -143,6 +146,7 @@ def main() -> None:
     ensure_dedup_prior_state(spark, sf_dir)
     ensure_emb_prior_sigs(spark, sf_dir)  # prior embedding batch's cost
     ensure_ivf_index(spark, sf_dir)  # index build = the indexing run's cost
+    ensure_pq_index(spark, sf_dir)  # PQ encode pass = the indexing run's cost
     ensure_segment_prior_set(spark, sf_dir)  # prior crawl's segment set
     release_caches()
 

@@ -616,3 +616,251 @@ def ivf_rebuild_index(spark, index_path: str, n_centroids: int | None = None) ->
     os.rename(staging, index_path)
     shutil.rmtree(old, ignore_errors=True)
     return ivf_index_stats(spark, index_path)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the COMPRESSION leg of the ANN family.
+#
+# IVF bounds WHICH corpus rows a query scans (nprobe/n_centroids of them);
+# PQ bounds WHAT each scanned row costs: a 64-dim float32 embedding
+# (256 bytes) becomes m=8 one-byte codes, and query scoring never touches
+# the original vectors — it sums m precomputed table entries per corpus
+# row (asymmetric distance computation, ADC). At 100 TB of embeddings
+# that 32x shrink is the difference between an ANN scan that is
+# memory-bandwidth-bound over codes and one that re-reads the vector
+# column per query batch. Reference anchor: the reference stores raw OCR
+# span payloads and re-reads them per lookup (workers/ocr/db.py:31-58);
+# this family is the "index once, scan the small thing" counterpart.
+#
+# Portability contract (same as IVF / LSH): codebooks are a deterministic
+# Knuth-multiplicative-hash sample of the corpus, one codebook per
+# subspace taken as that subspace's slice of the sampled vectors; all
+# distances are fixed-point integers (squared L2 rounded at 4 dp and
+# scaled by PQ_SCALE), so ADC sums are EXACT integer arithmetic in every
+# engine regardless of float fold order — the DuckDB twin reproduces the
+# codes and the ranking bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces per vector
+PQ_KSUB = 16  # codes per subspace codebook
+PQ_SCALE = 10_000  # 4-dp fixed point for all PQ distances
+
+
+def _pq_sqd_q(a: Column, b: Column) -> Column:
+    """Fixed-point squared L2 between two (sub)vectors: position-ordered
+    double fold, then one round into integer space. Comparisons and ADC
+    sums downstream are exact bigint arithmetic."""
+    s = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(s * F.lit(PQ_SCALE)).cast("long")
+
+
+def _pq_codebook_literal(sample_vecs, m: int, dsub: int) -> Column:
+    """cb[j][c] = subspace-j slice of sampled vector c, as a plan literal
+    (m * ksub * dsub doubles — a few KB, broadcast-equivalent)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in v[j * dsub : (j + 1) * dsub]])
+                    for v in sample_vecs
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_ds_expr(vec: Column, cb: Column, m: int, dsub: int) -> Column:
+    """ds[j][c] = fixed-point squared L2 from vec's subspace j to codebook
+    entry c. Encoding takes argmin per row; ADC takes the whole table per
+    query. One expression serves both, so Spark and the SQL twin cannot
+    drift apart."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: F.transform(
+            F.element_at(cb, j),
+            lambda cc: _pq_sqd_q(
+                F.slice(vec, (j - F.lit(1)) * F.lit(dsub) + F.lit(1), F.lit(dsub)), cc
+            ),
+        ),
+    )
+
+
+def _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col):
+    """(codebook literal, dsub, sample rows) from the deterministic
+    min-hash corpus sample — ksub rows to the driver, same contract as
+    IVF's _sample_centroids."""
+    sample = _sample_centroids(corpus, ksub, id_col, vec_col)
+    d = len(sample[0]["cvec"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    vecs = [[float(x) for x in r["cvec"]] for r in sample]
+    return _pq_codebook_literal(vecs, m, dsub), dsub, vecs
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cb: Column,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes array<int>[m]) — the compressed corpus. codes[j]
+    is the FIRST argmin over subspace j's codebook (integer distances, so
+    the tiebreak is exact in every engine)."""
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(
+            _pq_ds_expr(v, cb, m, dsub),
+            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
+        ).alias("codes"),
+    )
+
+
+def _pq_adc_rank(codes: DataFrame, qdt: DataFrame, m: int, k: int) -> DataFrame:
+    """ADC scoring + top-k: approx distance = sum_j dt[j][codes[j]], an
+    exact bigint sum of m table lookups per (query, corpus-row) pair. The
+    query side (with its distance tables) broadcasts; the codes scan is
+    the only corpus-sized work."""
+    scored = (
+        codes.join(F.broadcast(qdt))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
+                ),
+            ).alias("adist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized ANN top-k: encode the corpus to m codes per row,
+    score queries by ADC table lookups, rank (adist asc, neighbor_id asc).
+
+    Result: (query_id, neighbor_id, adist_q, rank) where adist_q is the
+    fixed-point approximate squared L2 (PQ_SCALE = 4 dp)."""
+    cb, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dsub, id_col, vec_col)
+    qv = F.col(vec_col).cast("array<double>")
+    qdt = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+    )
+    return _pq_adc_rank(codes, qdt, m, k)
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index: ``codebooks`` (j, c, cvec) and ``codes``
+    (neighbor_id, codes) tables under index_path. The expensive pass —
+    encoding the corpus — is paid ONCE; every query batch after that scans
+    only the m-byte-per-row codes table. New embedding batches
+    snapshot-append via pq_append_index with the FROZEN codebooks (the
+    standard PQ maintenance trade: re-train codebooks only when drift
+    degrades recall, cf. ivf_index_stats)."""
+    from ..sources.tables import append_snapshot, write_table
+
+    spark = corpus.sparkSession
+    cb, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    cb_df = spark.createDataFrame(
+        [
+            (j + 1, c + 1, v[j * dsub : (j + 1) * dsub])
+            for j in range(m)
+            for c, v in enumerate(vecs)
+        ],
+        "j: int, c: int, cvec: array<double>",
+    )
+    write_table(cb_df, index_path, "codebooks")
+    append_snapshot(pq_encode(corpus, cb, m, dsub, id_col, vec_col),
+                    index_path, "codes")
+
+
+def _pq_load_codebooks(spark, index_path: str):
+    from ..sources.tables import read_table
+
+    rows = read_table(spark, index_path, "codebooks").orderBy("j", "c").collect()
+    m = max(r["j"] for r in rows)
+    ksub = max(r["c"] for r in rows)
+    dsub = len(rows[0]["cvec"])
+    by_c = [[0.0] * (m * dsub) for _ in range(ksub)]
+    for r in rows:
+        by_c[r["c"] - 1][(r["j"] - 1) * dsub : r["j"] * dsub] = [
+            float(x) for x in r["cvec"]
+        ]
+    return _pq_codebook_literal(by_c, m, dsub), m, dsub
+
+
+def pq_append_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode a new embedding batch against the EXISTING codebooks and
+    snapshot-append the codes — |new|-sized, no prior row touched."""
+    from ..sources.tables import append_snapshot
+
+    cb, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
+    append_snapshot(
+        pq_encode(new_vectors, cb, m, dsub, id_col, vec_col), index_path, "codes"
+    )
+
+
+def pq_query_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against the materialized codes table: the corpus side is
+    a plain parquet scan of (neighbor_id, codes) — the original embedding
+    column is never read. Byte-identical to the inline pq_topk pipeline
+    when the index was built from the same corpus."""
+    from ..sources.tables import read_table
+
+    cb, m, dsub = _pq_load_codebooks(spark, index_path)
+    codes = read_table(spark, index_path, "codes")
+    qv = F.col(vec_col).cast("array<double>")
+    qdt = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+    )
+    return _pq_adc_rank(codes, qdt, m, k)

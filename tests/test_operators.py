@@ -1072,3 +1072,95 @@ def test_bigram_model_counts_are_additive(spark):
     f = {(r["w1"], r["w2"]): r["c2"] for r in full.collect()}
     m = {(r["w1"], r["w2"]): r["c2"] for r in merged.collect()}
     assert f == m and len(f) > 100
+
+
+def test_pq_topk_clusters_and_exact_duplicate(spark):
+    """Product quantization: on well-separated clusters the ADC top-5 stays
+    in-cluster, and an exact duplicate quantizes to the same codes in every
+    subspace -> adist_q == 0 at rank 1."""
+    import random
+
+    from pyspark.sql import Row
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import pq_topk
+
+    rng = random.Random(5)
+    rows = []
+    for c in range(3):
+        for i in range(18):
+            v = [0.0] * 16
+            v[c * 5] = 5.0
+            rows.append(
+                Row(
+                    vec_id=c * 100 + i,
+                    embedding=[round(x + rng.uniform(-0.3, 0.3), 3) for x in v],
+                )
+            )
+    rows.append(Row(vec_id=300, embedding=rows[0]["embedding"]))  # clone of 0
+    df = spark.createDataFrame(rows)
+    qs = df.filter(F.col("vec_id").isin(0, 100, 200))
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist_q"])
+        for r in pq_topk(df, qs, k=5).collect()
+    }
+    assert got[(0, 1)][0] == 300  # the clone: identical codes everywhere
+    cluster = {300: 0}
+    for r in rows[:-1]:
+        cluster[r["vec_id"]] = r["vec_id"] // 100
+    for (qid, _), (nid, _) in got.items():
+        assert cluster[nid] == cluster[qid]
+
+
+def test_pq_index_build_append_query(spark, tmp_path):
+    """Materialized PQ index lifecycle: build on batch 1, snapshot-append
+    batch 2 encoded with the FROZEN codebooks, queries find exact clones
+    across batches at rank 1 with adist_q == 0; and the full-build indexed
+    path equals the inline pq_topk pipeline exactly (shared codebook
+    sample rule)."""
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        pq_append_index,
+        pq_build_index,
+        pq_query_index,
+        pq_topk,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+
+    batch1 = [(i, vec()) for i in range(40)]
+    batch2 = [(100, batch1[7][1]), (101, batch1[23][1])] + [
+        (110 + i, vec()) for i in range(20)
+    ]
+    schema = "vec_id: long, embedding: array<float>"
+    b1 = spark.createDataFrame(batch1, schema)
+    b2 = spark.createDataFrame(batch2, schema)
+
+    idx = str(tmp_path / "pq")
+    pq_build_index(b1, idx)
+    pq_append_index(b2, idx)
+
+    queries = spark.createDataFrame([(7, batch1[7][1]), (100, batch1[7][1])], schema)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist_q"])
+        for r in pq_query_index(spark, idx, queries, k=3).collect()
+    }
+    # a clone shares every code, so it sits at the minimum possible ADC
+    # distance (the query's own quantization error — NOT zero unless the
+    # query was sampled into the codebook) and ranks first
+    assert got[(7, 1)][0] == 100   # batch-1 query finds its batch-2 clone
+    assert got[(100, 1)][0] == 7   # and vice versa
+    # identical query vectors => identical distance tables => symmetric adist
+    assert got[(7, 1)][1] == got[(100, 1)][1]
+
+    allv = b1.unionByName(b2)
+    idx2 = str(tmp_path / "pq_full")
+    pq_build_index(allv, idx2)
+    qs = allv.filter("vec_id % 10 = 0")
+    via_index = {tuple(r) for r in pq_query_index(spark, idx2, qs, k=5).collect()}
+    inline = {tuple(r) for r in pq_topk(allv, qs, k=5).collect()}
+    assert via_index == inline

@@ -412,3 +412,25 @@ def test_lm_score_and_url_plan_hygiene(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning(canon_url" in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_pq_indexed_plan_scans_codes_only(spark, tmp_path):
+    """Indexed PQ: the corpus side of a query batch is a plain FileScan of
+    the materialized codes table — the embedding column is read ONCE, for
+    the broadcast query side; the corpus vectors are never touched. That
+    is the whole point of the compression leg (8 bytes/row scanned instead
+    of a 256-byte float vector)."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        pq_build_index,
+        pq_query_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "pq")
+    pq_build_index(emb, idx)
+    out = pq_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5)
+    plan = pi.formatted(out)
+    assert "CartesianProduct" not in plan
+    # exactly one scan of the raw embeddings (query side), one codes scan
+    assert plan.count("embeddings.parquet") == 1
+    assert "/codes" in plan
