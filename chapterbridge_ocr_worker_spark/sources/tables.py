@@ -151,7 +151,18 @@ def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") ->
     return path
 
 
-def append_snapshot(df: DataFrame, root: str, name: str) -> str:
+def _json_safe_stat(v):
+    """min/max values must survive a JSON round-trip; anything exotic
+    (timestamps, decimals) degrades to its string form — consistent on
+    write and on prune-compare, which is all skipping needs."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+def append_snapshot(
+    df: DataFrame, root: str, name: str, stats_cols: list[str] | None = None
+) -> str:
     """Append as a new immutable snapshot directory (atomic-commit stand-in
     for Iceberg's append). Readers union LIVE snapshots via read_table.
     The manifest update after the data write is the commit point: a crash
@@ -159,7 +170,14 @@ def append_snapshot(df: DataFrame, root: str, name: str) -> str:
     the next compact_table). CONCURRENT appenders are safe: the data write
     happens outside the lock (unique directory per snapshot), then the
     manifest read-modify-write runs under _manifest_lock so no commit can
-    drop another writer's snapshot."""
+    drop another writer's snapshot.
+
+    ``stats_cols``: record per-snapshot min/max of these columns in the
+    manifest (the Iceberg manifest-file column-stats analogue). The stats
+    are aggregated from the just-written parquet — a footer-stats-backed
+    scan of only those columns — and let read_table_pruned skip whole
+    snapshot directories whose range cannot match a predicate. A snapshot
+    appended WITHOUT stats is simply never skipped (conservative)."""
     snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
     path = table_path(root, name)
     snap = os.path.join(path, snap_name)
@@ -168,6 +186,22 @@ def append_snapshot(df: DataFrame, root: str, name: str) -> str:
     # for a committed snapshot, and listings/GC skip dotted dirs
     inflight = os.path.join(path, f".inflight-{snap_name}")
     df.write.mode("overwrite").parquet(inflight)
+    snap_stats = None
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        row = (
+            df.sparkSession.read.parquet(inflight)
+            .agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
+            )
+            .collect()[0]
+        )
+        snap_stats = {
+            c: [_json_safe_stat(row[f"mn_{i}"]), _json_safe_stat(row[f"mx_{i}"])]
+            for i, c in enumerate(stats_cols)
+        }
     with _manifest_lock(path):
         m = _read_manifest(path)
         if m is None:  # adopt whatever legacy listing readers were seeing
@@ -182,6 +216,10 @@ def append_snapshot(df: DataFrame, root: str, name: str) -> str:
         else:
             live = m["snapshots"]
             extra = {k: v for k, v in m.items() if k != "snapshots"}
+        if snap_stats is not None:
+            stats_map = dict(extra.get("column_stats", {}))
+            stats_map[snap_name] = snap_stats
+            extra["column_stats"] = stats_map
         os.rename(inflight, snap)  # data becomes visible only with the commit
         _write_manifest(path, live + [snap_name], **extra)
     return snap
@@ -212,6 +250,67 @@ def read_table(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*parquet_dirs)
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    col: str,
+    lo=None,
+    hi=None,
+    schema: T.StructType | None = None,
+) -> DataFrame | None:
+    """Read rows with ``lo <= col <= hi`` (either bound may be None),
+    SKIPPING every live snapshot whose manifest min/max range cannot
+    intersect the predicate — Iceberg's manifest-level file pruning. At
+    100 TB this is the difference between a point-in-range query that
+    opens last week's snapshot and one that lists and footer-reads every
+    snapshot ever committed: the skip decision is driver-side manifest
+    arithmetic, no file is touched.
+
+    Semantics are exactly read_table(...).filter(between): the row-level
+    filter is still applied to the surviving directories (pruning is a
+    file-skipping optimization, never a filter substitute). Snapshots
+    without recorded stats for ``col`` are always read (conservative), so
+    mixing stats-less appends in costs correctness nothing."""
+    from pyspark.sql import functions as F
+
+    path = table_path(root, name)
+    if not os.path.isdir(path):
+        return None
+    m = _read_manifest(path)
+
+    def _pred(d):
+        return (F.col(col) >= F.lit(lo) if lo is not None else F.lit(True)) & (
+            F.col(col) <= F.lit(hi) if hi is not None else F.lit(True)
+        )
+
+    if m is None:  # legacy table: no stats anywhere, plain filtered read
+        full = read_table(spark, root, name, schema)
+        return None if full is None else full.filter(_pred(None))
+    stats = m.get("column_stats", {})
+    keep, dirs = [], []
+    for s in m["snapshots"]:
+        d = os.path.join(path, s)
+        if not os.path.isdir(d):
+            continue
+        dirs.append(d)
+        rng = stats.get(s, {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            keep.append(d)  # no stats -> cannot skip
+            continue
+        mn, mx = rng
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            continue  # provably disjoint: skip the whole directory
+        keep.append(d)
+    if not dirs:
+        return None
+    if not keep:  # every snapshot pruned: empty result, schema preserved
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(dirs[0]).limit(0).filter(_pred(None))
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*keep).filter(_pred(None))
 
 
 def _snap_millis(snap_name: str) -> int | None:

@@ -424,3 +424,66 @@ def test_time_travel_history_expires_on_compaction(spark, tmp_path):
     # the compacted snapshot itself still time-travels (full data)
     df = tables.read_table_asof(spark, root, "tt2", snapshot=snaps[0]["name"])
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_snapshot_stats_prune_file_skipping(spark, tmp_path):
+    """Manifest min/max stats (Iceberg column-stats analogue): a range read
+    via read_table_pruned must (a) equal read_table + filter exactly,
+    (b) physically touch ONLY the snapshot directories whose recorded
+    range intersects the predicate, (c) always read stats-less snapshots
+    (conservative), and (d) return an empty frame with the right schema
+    when every snapshot is provably disjoint."""
+    root = str(tmp_path)
+    mk = lambda lo, n: spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    s1 = tables.append_snapshot(mk(0, 100), root, "docs", stats_cols=["doc_id"])
+    s2 = tables.append_snapshot(mk(1000, 100), root, "docs", stats_cols=["doc_id"])
+    s3 = tables.append_snapshot(mk(2000, 100), root, "docs", stats_cols=["doc_id"])
+
+    got = tables.read_table_pruned(spark, root, "docs", "doc_id", 1010, 1050)
+    want = (
+        tables.read_table(spark, root, "docs")
+        .filter("doc_id between 1010 and 1050")
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # (b) only the middle snapshot's files are in the scan
+    files = got.inputFiles()
+    assert files and all(s2.split("/")[-1] in f for f in files)
+    assert not any(s1.split("/")[-1] in f or s3.split("/")[-1] in f for f in files)
+
+    # inclusive bounds: the exact min/max edges of a snapshot still match
+    edge = tables.read_table_pruned(spark, root, "docs", "doc_id", 2099, None)
+    assert [r["doc_id"] for r in edge.collect()] == [2099]
+
+    # (c) a stats-less append is never skipped
+    tables.append_snapshot(mk(5000, 10), root, "docs")
+    got2 = tables.read_table_pruned(spark, root, "docs", "doc_id", 5000, 5004)
+    assert got2.count() == 5
+
+    # (d) all-pruned range: empty, schema intact
+    none = tables.read_table_pruned(spark, root, "docs", "doc_id", 9_000_000, None)
+    assert none.count() == 0 and none.columns == ["doc_id", "v"]
+
+
+def test_snapshot_stats_survive_commit_merges_and_compaction(spark, tmp_path):
+    """Stats ride the manifest through other writers' commits; compaction
+    (which merges snapshots and rewrites the manifest) drops them, after
+    which pruned reads degrade to conservative full reads — never wrong."""
+    root = str(tmp_path)
+    mk = lambda lo, n: spark.range(lo, lo + n).select(F.col("id").alias("doc_id"))
+    tables.append_snapshot(mk(0, 50), root, "t", stats_cols=["doc_id"])
+    tables.append_snapshot(mk(100, 50), root, "t")  # no stats
+    tables.append_snapshot(mk(200, 50), root, "t", stats_cols=["doc_id"])
+    m = tables._read_manifest(tables.table_path(root, "t"))
+    assert len(m.get("column_stats", {})) == 2  # both stats appends kept
+
+    before = sorted(
+        r["doc_id"]
+        for r in tables.read_table_pruned(spark, root, "t", "doc_id", 0, 49).collect()
+    )
+    tables.compact_table(spark, root, "t")
+    after_df = tables.read_table_pruned(spark, root, "t", "doc_id", 0, 49)
+    assert sorted(r["doc_id"] for r in after_df.collect()) == before
