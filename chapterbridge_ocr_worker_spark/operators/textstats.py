@@ -357,3 +357,116 @@ def topk_quality_per_lang(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (the fastText serving shape)
+# ---------------------------------------------------------------------------
+
+FASTTEXT_BUCKETS = 65536  # feature-hash space (fastText default is 2M)
+_CLS_SEED = 0xC1A55
+_CLS_PRIME = 2_147_483_647
+
+
+def _hashed_feature_weight(bucket: Column) -> Column:
+    """Deterministic stand-in weight for feature bucket b, in [-1, 1) —
+    the same portable multiplicative-mix construction as
+    similarity._plane_weight, so any SQL engine reproduces it with plain
+    integer arithmetic. In production these would be TRAINED parameters
+    (see the ``weights`` DataFrame path of hashed_linear_score); the
+    arithmetic default exists so the serving plan is testable and
+    hash-oracle-able without shipping a model file."""
+    h = F.pmod(
+        (bucket.cast("long") + 1) * F.lit(2654435761) + F.lit(_CLS_SEED),
+        F.lit(_CLS_PRIME),
+    )
+    return (
+        F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)
+    ) - F.lit(1.0)
+
+
+def _feature_buckets(text: Column, n_buckets: int) -> Column:
+    """Lowercased whitespace tokens -> portable polynomial hash -> bucket.
+    Collisions are the point (feature hashing): memory is fixed at
+    n_buckets weights no matter the vocabulary."""
+    from .dedup import portable_token_hash
+
+    norm = normalized(text)
+    toks = F.when(
+        F.length(norm) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(norm, r"\s+"))
+    return F.transform(
+        toks, lambda tk: F.pmod(portable_token_hash(tk), F.lit(n_buckets))
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    n_buckets: int = FASTTEXT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-shape document quality classifier, as a SERVING plan:
+    tokens -> feature-hash buckets -> per-bucket weight -> mean weight =
+    margin -> sigmoid prob -> keep decision. The CCNet/Dolma-style
+    learned gate next to the heuristic quality_columns and the bigram LM.
+
+    Result: (id_col, margin, prob, keep) with margin rounded at 4 dp
+    BEFORE the prob/keep derivation, so the decision is identical in every
+    engine (the DuckDB twin hash-matches all four columns).
+
+    Two weight sources, same plan shape at 100 TB:
+    - ``weights=None``: weights derived arithmetically from the bucket id
+      (deterministic stand-in for trained parameters). ZERO joins — the
+      whole classifier is one column expression inside whole-stage codegen.
+    - ``weights=DataFrame(bucket, w)``: a trained model table. Buckets
+      explode (one row per token), broadcast-join the weight table
+      (n_buckets rows — a few MB, always broadcastable), partial-agg back
+      to per-doc sums. One narrow shuffle of (id, bucket) rows; the corpus
+      text is read once.
+    """
+    buckets = _feature_buckets(F.col(text_col), n_buckets)
+    if weights is None:
+        wsum = F.aggregate(
+            F.transform(buckets, _hashed_feature_weight),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        n = F.size(buckets)
+        margin = F.round(
+            F.when(n > 0, wsum / n.cast("double")).otherwise(F.lit(0.0)), 4
+        )
+        scored = df.select(F.col(id_col), margin.alias("margin"))
+    else:
+        feat = df.select(F.col(id_col), F.explode_outer(buckets).alias("bucket"))
+        joined = feat.join(F.broadcast(weights), "bucket", "left")
+        agg = joined.groupBy(id_col).agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("wsum"),
+            F.count("bucket").alias("n"),
+        )
+        margin = F.round(
+            F.when(F.col("n") > 0, F.col("wsum") / F.col("n").cast("double"))
+            .otherwise(F.lit(0.0)),
+            4,
+        )
+        scored = agg.select(F.col(id_col), margin.alias("margin"))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * F.col("margin"))), 4)
+    return scored.select(
+        id_col,
+        "margin",
+        prob.alias("prob"),
+        (F.col("margin") > F.lit(threshold)).alias("keep"),
+    )
+
+
+def hash_weight_table(spark, n_buckets: int = FASTTEXT_BUCKETS) -> DataFrame:
+    """The arithmetic default weights materialized as a (bucket, w) model
+    table — what a real trained model would be swapped in for. Exists so
+    the weights-table serving path can be pinned EQUAL to the zero-join
+    default path."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        _hashed_feature_weight(F.col("id")).alias("w"),
+    )

@@ -1159,6 +1159,57 @@ def text_tokens(spark, sf_dir):
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"), "n_chars")
 
 
+def _cls_weight_sql(bucket: str) -> str:
+    """DuckDB twin of textstats._hashed_feature_weight."""
+    return (
+        f"(CAST(((({bucket}) + 1) * 2654435761 + 793173) % 2147483647 "
+        "% 2000003 AS DOUBLE) / 1000001.5) - 1.0"
+    )
+
+
+_CLS_SQL = f"""
+    WITH nd AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ),
+    tk AS (
+      SELECT doc_id,
+             CASE WHEN len(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(norm, '\\s+') END AS toks
+      FROM nd
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(toks, tok ->
+                   {_cls_weight_sql(_phash_sql('tok') + ' % 65536')})),
+                 (a, b) -> a + b) / len(toks), 4)
+             END AS margin
+      FROM tk
+    )
+    SELECT doc_id, margin,
+           ROUND(1.0 / (1.0 + exp(-4.0 * margin)), 4) AS prob,
+           margin > 0.0 AS keep
+    FROM m
+    """
+
+
+@q(
+    "text_quality_classifier",
+    _CLS_SQL,
+    "hashed-linear quality classifier (the fastText serving shape): "
+    "lowercased tokens -> portable feature-hash buckets -> per-bucket "
+    "weight -> mean-weight margin (4 dp) -> sigmoid prob -> keep; the "
+    "default weight source is arithmetic (zero joins, one codegen'd "
+    "column expression) and the twin recomputes every stage",
+)
+def text_quality_classifier_q(spark, sf_dir):
+    from .operators.textstats import hashed_linear_score
+
+    d = t(spark, sf_dir, "documents")
+    return hashed_linear_score(d)
+
+
 @q(
     "text_token_count_bpe",
     r"""
@@ -3647,6 +3698,7 @@ _REGISTRY_ORDER = [
     # tools/oracle_check.py
     "emb_pq_topk",
     "emb_pq_indexed",
+    "text_quality_classifier",
 ]
 
 

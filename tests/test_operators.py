@@ -1164,3 +1164,41 @@ def test_pq_index_build_append_query(spark, tmp_path):
     via_index = {tuple(r) for r in pq_query_index(spark, idx2, qs, k=5).collect()}
     inline = {tuple(r) for r in pq_topk(allv, qs, k=5).collect()}
     assert via_index == inline
+
+
+def test_hashed_linear_classifier_weight_table_path_equal(spark):
+    """The trained-model serving path (explode -> broadcast-join the
+    (bucket, w) table -> per-doc partial agg) must produce EXACTLY the
+    zero-join arithmetic default when the table holds the same weights —
+    pinning that swapping in a real trained model changes parameters, not
+    semantics. Also: empty/whitespace docs score margin 0.0, keep=false."""
+    from pyspark.sql import Row
+
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        hash_weight_table,
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The quick brown fox jumps"),
+            Row(doc_id=2, text="click here buy now cheap pills"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="   "),
+            Row(doc_id=5, text="Ein vollständig anderer deutscher Satz."),
+        ]
+    )
+    default = {tuple(r) for r in hashed_linear_score(docs).collect()}
+    via_table = {
+        tuple(r)
+        for r in hashed_linear_score(
+            docs, weights=hash_weight_table(spark)
+        ).collect()
+    }
+    assert via_table == default
+    by_id = {r[0]: r for r in default}
+    assert by_id[3][1] == 0.0 and by_id[3][3] is False
+    assert by_id[4][1] == 0.0 and by_id[4][3] is False
+    # same text twice -> same score (pure function of content)
+    docs2 = spark.createDataFrame([Row(doc_id=9, text="The quick brown fox jumps")])
+    assert hashed_linear_score(docs2).collect()[0]["margin"] == by_id[1][1]

@@ -434,3 +434,23 @@ def test_pq_indexed_plan_scans_codes_only(spark, tmp_path):
     # exactly one scan of the raw embeddings (query side), one codes scan
     assert plan.count("embeddings.parquet") == 1
     assert "/codes" in plan
+
+
+def test_hashed_linear_classifier_plan_hygiene(spark):
+    """Default path: the entire classifier is column expressions — no
+    join, no exchange, no Python; weights-table path: the model table
+    enters as a broadcast join (never a shuffled one)."""
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        hash_weight_table,
+        hashed_linear_score,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = pi.formatted(hashed_linear_score(docs))
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    via_table = hashed_linear_score(docs, weights=hash_weight_table(spark))
+    plan2 = pi.formatted(via_table)
+    assert pi.count_broadcast_joins(via_table) >= 1
+    assert "SortMergeJoin" not in plan2
