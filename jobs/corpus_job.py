@@ -11,6 +11,10 @@ dedup + inventory; this is the release pipeline):
       -> LM quality floor (opt-in)  CCNet-style: drop docs whose avg
                                 bigram log-prob under the corpus-trained
                                 model falls below --lm-floor
+      -> classifier floor (opt-in)  fastText-shape hashed-linear gate:
+                                drop docs whose margin is below
+                                --classifier-floor (trained weights via
+                                --classifier-weights parquet)
       -> decontamination        drop docs overlapping an eval benchmark
       -> PII redaction          emails/phones/IPv4 -> placeholders
       -> temperature mixing     alpha=0.5 language rebalance to budget
@@ -78,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
                     "avg bigram log-prob (corpus-trained model) is below "
                     "this floor; docs with <2 tokens have no score and "
                     "are dropped too")
+    ap.add_argument("--classifier-floor", type=float, default=None,
+                    help="enables the hashed-linear classifier gate: drop "
+                    "docs whose margin is below this floor")
+    ap.add_argument("--classifier-weights", default=None,
+                    help="(bucket, w) parquet of trained classifier "
+                    "weights; default is the deterministic arithmetic "
+                    "weight rule")
     ap.add_argument("--threshold", type=float, default=0.6)
     ap.add_argument("--max-adj-repeat", type=float, default=0.5)
     ap.add_argument("--max-top-bigram", type=float, default=0.5)
@@ -188,6 +199,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = docs.join(keep_lm, "doc_id", "left_semi")
         funnel["after_lm"] = docs.count()
+
+    # 2c. hashed-linear classifier floor (opt-in): the fastText-shape
+    # learned gate. With no --classifier-weights the arithmetic default
+    # weights apply (deterministic stand-in); pass a (bucket, w) parquet
+    # to serve a trained model — identical plan, different parameters.
+    if args.classifier_floor is not None:
+        from chapterbridge_ocr_worker_spark.operators.textstats import (
+            hashed_linear_score,
+        )
+
+        wtab = (
+            spark.read.parquet(args.classifier_weights)
+            if args.classifier_weights
+            else None
+        )
+        keep_cls = (
+            hashed_linear_score(docs, weights=wtab)
+            .filter(F.col("margin") >= args.classifier_floor)
+            .select("doc_id")
+        )
+        docs = docs.join(keep_cls, "doc_id", "left_semi")
+        funnel["after_classifier"] = docs.count()
 
     # 3. decontamination against the eval benchmark (optional)
     if args.benchmark:

@@ -567,3 +567,55 @@ def test_corpus_job_url_and_lm_stages(spark, tmp_path):
     final = {r["doc_id"] for r in
              spark.read.parquet(f"{out_dir}/corpus").collect()}
     assert final == {1, 3}
+
+
+def test_corpus_job_classifier_stage(spark, tmp_path):
+    """The opt-in hashed-linear classifier gate, served from a TRAINED
+    weights table: a one-feature model (the bucket of the token 'spam'
+    weighted -10) must drop exactly the docs whose mean weight falls
+    below the floor, and the funnel must report the stage count."""
+    from pyspark.sql import functions as F
+
+    from chapterbridge_ocr_worker_spark.operators.textstats import (
+        FASTTEXT_BUCKETS,
+        _feature_buckets,
+    )
+
+    rows = [
+        (1, "good clean text"),
+        (2, "spam offer spam deal spam"),   # margin -10 * 3/5 = -6
+        (3, "mixed spam content here"),     # margin -10 / 4   = -2.5
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(docs_dir)
+    spam_bucket = (
+        spark.createDataFrame([("spam",)], ["text"])
+        .select(
+            F.element_at(
+                _feature_buckets(F.col("text"), FASTTEXT_BUCKETS), 1
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    wdir = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [(int(spam_bucket), -10.0)], "bucket: int, w: double"
+    ).write.parquet(wdir)
+    out_dir = str(tmp_path / "corpus")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_job.py"),
+           "--documents", docs_dir, "--out", out_dir,
+           "--classifier-floor", "-1.0", "--classifier-weights", wdir,
+           "--budget-num", "1", "--budget-den", "1",
+           "--shard-tokens", "16", "--n-buckets", "2", "--cores", "4"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 3
+    assert stats["after_classifier"] == 1
+    final = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/corpus").collect()}
+    assert final == {1}
