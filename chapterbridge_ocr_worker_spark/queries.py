@@ -3622,12 +3622,15 @@ _REGISTRY_ORDER = [
     "stream_stateful_totals",
     # reference operator families with non-trivial Spark shapes
     "s1_oldest_queued_top1",
-    "p6_validation_split",
     "j4_anti_resume",
-    "j6_upsert_latest",
     "w3_keep_oldest",
     "q7_nation_volume",
-    "d3_union_dedup",
+    # fourth round-5 rotation: the PQ compression leg + the learned
+    # quality gate (p6_validation_split, j6_upsert_latest, d3_union_dedup
+    # evicted to overflow — driver-green r01-r04, re-verified; see BENCH.md)
+    "emb_pq_topk",
+    "emb_pq_indexed",
+    "text_quality_classifier",
     # round-5 training-data flagships rotated INTO the window (the five
     # evicted long-proven relational entries moved to the overflow block
     # below, re-verified by tools/oracle_check.py — see BENCH.md)
@@ -3694,11 +3697,11 @@ _REGISTRY_ORDER = [
     "w5_sessionize",
     "asof_last_view_before_purchase",
     "rollup_revenue",
-    # PQ compression leg (round 5, late) — overflow; verified by
-    # tools/oracle_check.py
-    "emb_pq_topk",
-    "emb_pq_indexed",
-    "text_quality_classifier",
+    # evicted in the round-5 fourth rotation (driver rows green r01-r04;
+    # local oracle re-verification recorded in BENCH.md)
+    "p6_validation_split",
+    "j6_upsert_latest",
+    "d3_union_dedup",
 ]
 
 

@@ -49,12 +49,12 @@ DRIVER_WINDOW = [
     "stream_session_windows",
     "stream_stateful_totals",
     "s1_oldest_queued_top1",
-    "p6_validation_split",
     "j4_anti_resume",
-    "j6_upsert_latest",
     "w3_keep_oldest",
     "q7_nation_volume",
-    "d3_union_dedup",
+    "emb_pq_topk",
+    "emb_pq_indexed",
+    "text_quality_classifier",
     "emb_neardup_incremental",
     "text_pii_scan",
     "curate_mix_sample",
