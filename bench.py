@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "emb_ivf_indexed",
     "emb_pq_topk",
     "emb_pq_indexed",
+    "emb_ivfpq_topk",
     "f13_output_docs",
     "emb_cosine_topk",
     "emb_ann_lsh",

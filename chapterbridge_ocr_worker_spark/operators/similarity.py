@@ -864,3 +864,98 @@ def pq_query_index(
         _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
     )
     return _pq_adc_rank(codes, qdt, m, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two ANN levers composed — IVF bounds WHICH rows a query
+    scans (~nprobe/n_centroids of the corpus), PQ bounds WHAT each scanned
+    row costs (m one-byte codes + an integer ADC sum instead of a float
+    vector and a cosine). At 100 TB this is the standard big-index shape
+    (FAISS IVFPQ): per query batch, work = scan-fraction x 8 bytes/row.
+
+    Composition contract: cell assignment and probe selection are EXACTLY
+    ivf_topk's (same deterministic centroid sample, same rounded-cosine
+    argmax/probe order); codes and ADC tables are EXACTLY pq_topk's (same
+    codebook sample, same fixed-point distances) — so the DuckDB twin is
+    the two existing twins' CTEs joined. Ranking: (adist asc, neighbor_id
+    asc) within the probed cells only.
+
+    This is the classic raw-vector PQ (codes over the vectors themselves,
+    shared codebooks across cells), not residual-PQ: residual encoding
+    needs per-cell codebook training, which buys recall at the cost of an
+    engine-portable oracle; the composition and plan shape are identical.
+    """
+    cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
+    cb, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+
+    # corpus side: one narrow (neighbor_id, bucket, codes) row per vector —
+    # cell assignment identical to ivf_topk's, codes identical to pq_topk's
+    corp = _assign_cells(corpus, cent_arr, id_col, vec_col).select(
+        "neighbor_id",
+        "bucket",
+        F.transform(
+            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
+            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
+        ).alias("codes"),
+    )
+
+    # query side: nprobe probed buckets + the ADC distance table, broadcast
+    qv = F.col(vec_col).cast("array<double>")
+    qsc = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        lambda i: F.struct(
+            (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
+        ),
+    )
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _cell_scores(cent_arr, qv).alias("sc"),
+            _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(qsc), 1, nprobe),
+                    lambda p: p["idx"].cast("long"),
+                )
+            ),
+        )
+        .drop("sc")
+    )
+    scored = (
+        corp.join(F.broadcast(qs), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
+                ),
+            ).alias("adist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )

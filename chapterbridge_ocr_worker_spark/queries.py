@@ -2171,6 +2171,91 @@ def ensure_pq_index(spark, sf_dir) -> str:
     return base
 
 
+_IVFPQ_SQL = """
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id * 2654435761) % 2147483647 AS h
+      FROM embeddings
+    ),
+    cl AS (
+      SELECT list(v ORDER BY h, vec_id) AS cents
+      FROM (SELECT v, h, vec_id FROM c ORDER BY h, vec_id LIMIT 16)
+    ),
+    sm AS (SELECT list(v ORDER BY h, vec_id) AS sv
+           FROM (SELECT v, h, vec_id FROM c ORDER BY h, vec_id LIMIT 16)),
+    cb AS (
+      SELECT list_transform(generate_series(1, 8), j ->
+               list_transform(sv, s -> list_slice(s, (j-1)*8 + 1, j*8))) AS cbv
+      FROM sm
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             list_transform((SELECT cents FROM cl), cc ->
+               ROUND(list_dot_product(v, cc) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cc, cc))),
+                     4)) AS s
+      FROM c
+    ),
+    cds AS (
+      SELECT vec_id,
+        list_transform(generate_series(1, 8), j ->
+          list_transform(cbv[j], cc ->
+            CAST(ROUND(list_sum(list_transform(generate_series(1, 8), i ->
+              (v[(j-1)*8+i] - cc[i]) * (v[(j-1)*8+i] - cc[i]))) * 10000)
+              AS BIGINT))) AS ds
+      FROM c, cb
+    ),
+    corp AS (
+      SELECT sc.vec_id AS neighbor_id,
+             list_position(s, list_max(s)) AS bucket,
+             list_transform(ds, dj -> list_position(dj, list_min(dj))) AS codes
+      FROM sc JOIN cds ON sc.vec_id = cds.vec_id
+    ),
+    probes AS (
+      SELECT sc.vec_id AS query_id, cds.ds AS dt,
+             unnest(list_transform(list_slice(list_sort(
+                 list_transform(generate_series(1, 16),
+                                i -> [-s[i], CAST(i AS DOUBLE)])
+               ), 1, 4), p -> CAST(p[2] AS BIGINT))) AS bucket
+      FROM sc JOIN cds ON sc.vec_id = cds.vec_id
+      WHERE sc.vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT p.query_id, o.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 8), j ->
+               p.dt[j][o.codes[j]])) AS BIGINT) AS adist_q
+      FROM probes p JOIN corp o ON o.bucket = p.bucket
+      WHERE o.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist_q, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adist_q, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@q(
+    "emb_ivfpq_topk",
+    _IVFPQ_SQL,
+    "IVF-PQ composed ANN (the FAISS-IVFPQ shape): IVF cell probing bounds "
+    "which rows are scanned, PQ codes bound what each row costs — per "
+    "query, work = scan fraction x 8 bytes/row + an integer ADC sum; the "
+    "twin joins the IVF and PQ twins' CTEs and recomputes the ranking "
+    "bit-for-bit",
+)
+def emb_ivfpq_q(spark, sf_dir):
+    from .operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10, n_centroids=16, nprobe=4
+    )
+
+
 @q(
     "emb_pq_indexed",
     _PQ_SQL,
@@ -3702,6 +3787,9 @@ _REGISTRY_ORDER = [
     "p6_validation_split",
     "j6_upsert_latest",
     "d3_union_dedup",
+    # IVF-PQ composition (round 5, late) — overflow; verified by
+    # tools/oracle_check.py
+    "emb_ivfpq_topk",
 ]
 
 

@@ -1202,3 +1202,39 @@ def test_hashed_linear_classifier_weight_table_path_equal(spark):
     # same text twice -> same score (pure function of content)
     docs2 = spark.createDataFrame([Row(doc_id=9, text="The quick brown fox jumps")])
     assert hashed_linear_score(docs2).collect()[0]["margin"] == by_id[1][1]
+
+
+def test_ivfpq_equals_pq_when_probes_cover_cluster(spark):
+    """IVF-PQ = PQ's ranking restricted to probed cells: on well-separated
+    clusters every ADC-nearest neighbor lives in the query's own probed
+    cell, so the composition must return exactly pq_topk's answer — pinning
+    that probing changes the candidate set, never the distances."""
+    import random
+
+    from pyspark.sql import Row
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(3):
+        for i in range(18):
+            v = [0.0] * 16
+            v[c * 5] = 5.0
+            rows.append(
+                Row(
+                    vec_id=c * 100 + i,
+                    embedding=[round(x + rng.uniform(-0.3, 0.3), 3) for x in v],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    qs = df.filter(F.col("vec_id").isin(0, 100, 200))
+    via_pq = {tuple(r) for r in pq_topk(df, qs, k=5).collect()}
+    via_ivfpq = {
+        tuple(r)
+        for r in ivfpq_topk(df, qs, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    assert via_ivfpq == via_pq
