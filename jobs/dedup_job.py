@@ -175,7 +175,9 @@ def main(argv: list[str] | None = None) -> int:
         prior_buckets = tables.read_table(spark, args.state, "buckets")
         backfilled = prior_buckets is None
         if backfilled:
-            tables.append_snapshot(bucket_rows(prior_sigs), args.state, "buckets")
+            tables.append_snapshot(
+                bucket_rows(prior_sigs), args.state, "buckets", stats_cols=["id"]
+            )
             prior_buckets = tables.read_table(spark, args.state, "buckets")
             prior_run_id = prior_sigs.agg(F.max("id")).first()[0]
             tables.append_snapshot(
@@ -185,7 +187,14 @@ def main(argv: list[str] | None = None) -> int:
                 args.state,
                 "bucket_counts",
             )
-        prior_buckets = prior_buckets.filter(F.col("id") < min_new_id)
+        # pruned prior read: ids are crawl-ordered integers (caller
+        # contract), so `id < min_new` == `id <= min_new - 1`, and the
+        # manifest min/max stats let a post-crash rerun SKIP the crashed
+        # attempt's own bucket snapshot at the metadata level instead of
+        # scanning-and-filtering it row by row
+        prior_buckets = tables.read_table_pruned(
+            spark, args.state, "buckets", "id", None, min_new_id - 1
+        )
         prior_counts = (
             tables.read_table_latest(
                 spark, args.state, "bucket_counts", keys=["run_id"]
@@ -221,7 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         all_labels.select("id", "cluster_id"), args.state, "clusters"
     )
     new_buckets = bucket_rows(new_sigs)
-    tables.append_snapshot(new_buckets, args.state, "buckets")
+    tables.append_snapshot(new_buckets, args.state, "buckets", stats_cols=["id"])
     run_id = docs.agg(F.max("doc_id")).first()[0]
     tables.append_snapshot(
         bucket_count_rows(new_buckets).withColumn(
@@ -230,7 +239,7 @@ def main(argv: list[str] | None = None) -> int:
         args.state,
         "bucket_counts",
     )
-    tables.append_snapshot(new_sigs, args.state, "signatures")
+    tables.append_snapshot(new_sigs, args.state, "signatures", stats_cols=["id"])
     n_corpus = tables.read_table(spark, args.state, "signatures").count()
     all_labels.unpersist()
     new_sigs.unpersist()

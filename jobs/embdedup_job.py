@@ -166,10 +166,12 @@ def main(argv: list[str] | None = None) -> int:
 
     # commit: sigs FIRST, vecs marker LAST (see module docstring)
     tables.append_snapshot(
-        vector_signatures(batch, bits=args.bits), args.state, "sigs"
+        vector_signatures(batch, bits=args.bits), args.state, "sigs",
+        stats_cols=["id"],
     )
     tables.append_snapshot(
-        batch.select(F.col("vec_id").alias("id")), args.state, "vecs"
+        batch.select(F.col("vec_id").alias("id")), args.state, "vecs",
+        stats_cols=["id"],
     )
     n_corpus = tables.read_table(spark, args.state, "vecs").count()
     pairs.unpersist()

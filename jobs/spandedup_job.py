@@ -134,7 +134,13 @@ def main(argv: list[str] | None = None) -> int:
         # id so a redo after a crash between the two appends cannot see
         # the crashed attempt's own segment rows as "prior"
         min_new_id = docs.agg(F.min("doc_id")).first()[0]
-        prior = prior.filter(F.col("owner_id") < min_new_id)
+        # pruned re-read: doc ids are crawl-ordered integers, so the
+        # manifest min/max stats skip a crashed attempt's own segment
+        # snapshot (owner_id >= min_new) at the metadata level — the
+        # crash-redo pays |prior|, not |prior + crashed slice|
+        prior = tables.read_table_pruned(
+            spark, args.state, "segments", "owner_id", None, min_new_id - 1
+        )
         cleaned = incremental_segment_dedup(docs, prior, k=args.k)
         fresh = (
             doc_segments(docs, args.k)
@@ -151,9 +157,12 @@ def main(argv: list[str] | None = None) -> int:
 
     # commit: segments FIRST, docs marker LAST (see module docstring)
     n_added = fresh.count()
-    tables.append_snapshot(fresh, args.state, "segments")
     tables.append_snapshot(
-        cleaned.select(F.col("doc_id").alias("id")), args.state, "docs"
+        fresh, args.state, "segments", stats_cols=["owner_id"]
+    )
+    tables.append_snapshot(
+        cleaned.select(F.col("doc_id").alias("id")), args.state, "docs",
+        stats_cols=["id"],
     )
     n_corpus = tables.read_table(spark, args.state, "docs").count()
     cleaned.unpersist()
