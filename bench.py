@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "text_lm_score",
     "text_lm_score_frozen",
     "url_dedup_keep",
+    "text_quality_classifier",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run
