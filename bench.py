@@ -47,6 +47,7 @@ from chapterbridge_ocr_worker_spark.queries import (
     ensure_dedup_prior_state,
     ensure_emb_prior_sigs,
     ensure_ivf_index,
+    ensure_ivfpq_index,
     ensure_pq_index,
     ensure_segment_prior_set,
     streaming_scratch_dirs,
@@ -77,6 +78,7 @@ BENCH_QUERIES = [
     "emb_pq_topk",
     "emb_pq_indexed",
     "emb_ivfpq_topk",
+    "emb_ivfpq_indexed",
     "f13_output_docs",
     "emb_cosine_topk",
     "emb_ann_lsh",
@@ -149,6 +151,7 @@ def main() -> None:
     ensure_emb_prior_sigs(spark, sf_dir)  # prior embedding batch's cost
     ensure_ivf_index(spark, sf_dir)  # index build = the indexing run's cost
     ensure_pq_index(spark, sf_dir)  # PQ encode pass = the indexing run's cost
+    ensure_ivfpq_index(spark, sf_dir)  # fused assign+encode = the indexing run's cost
     ensure_segment_prior_set(spark, sf_dir)  # prior crawl's segment set
     release_caches()
 

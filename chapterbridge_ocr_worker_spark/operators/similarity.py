@@ -959,3 +959,149 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF-PQ index: ``centroids`` (bucket, cvec),
+    ``codebooks`` (j, c, cvec) and ``cells`` (neighbor_id, bucket, codes)
+    tables under index_path. The two expensive corpus passes — cell
+    assignment and code encoding — are fused into ONE scan and paid at
+    build time; a query batch then touches only the probed slice of the
+    9-bytes-per-row cells table. At sf0.1 the indexed query roughly
+    breaks even with the inline composition (~5-7 s warm either way: the
+    query-side centroid/ADC-table expressions and the extra exchange
+    dominate at toy scale) — the win is structural: per query batch the
+    CORPUS-sized assign+encode pass disappears, which is the entire cost
+    at 100 TB."""
+    from ..sources.tables import append_snapshot, write_table
+
+    spark = corpus.sparkSession
+    cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)],
+        "bucket: long, cvec: array<double>",
+    )
+    write_table(cent_df, index_path, "centroids")
+    cb, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    cb_df = spark.createDataFrame(
+        [
+            (j + 1, c + 1, v[j * dsub : (j + 1) * dsub])
+            for j in range(m)
+            for c, v in enumerate(vecs)
+        ],
+        "j: int, c: int, cvec: array<double>",
+    )
+    write_table(cb_df, index_path, "codebooks")
+    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
+    cells = _assign_cells(corpus, cent_arr, id_col, vec_col).select(
+        "neighbor_id",
+        "bucket",
+        F.transform(
+            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
+            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
+        ).alias("codes"),
+    )
+    append_snapshot(cells, index_path, "cells", stats_cols=["neighbor_id"])
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow the composed index with a new embedding batch: assign to the
+    EXISTING centroids and encode with the FROZEN codebooks, one snapshot
+    append — |new|-sized, no prior row touched. Drift maintenance is the
+    IVF side's (ivf_index_stats applies to any (bucket) assignment
+    table)."""
+    from ..sources.tables import append_snapshot
+
+    cent_arr, _ = _load_centroids(new_vectors.sparkSession, index_path)
+    cb, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
+    cells = _assign_cells(new_vectors, cent_arr, id_col, vec_col).select(
+        "neighbor_id",
+        "bucket",
+        F.transform(
+            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
+            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
+        ).alias("codes"),
+    )
+    append_snapshot(cells, index_path, "cells", stats_cols=["neighbor_id"])
+
+
+def ivfpq_query_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k within probed cells against the materialized cells table:
+    the corpus side is a plain parquet scan of (neighbor_id, bucket, codes)
+    filtered to the probed buckets — neither the embedding column nor the
+    unprobed cells are read. Byte-identical to the inline ivfpq_topk
+    pipeline when the index was built from the same corpus."""
+    from ..sources.tables import read_table
+
+    cent_arr, n_centroids = _load_centroids(spark, index_path)
+    cb, m, dsub = _pq_load_codebooks(spark, index_path)
+    cells = read_table(spark, index_path, "cells")
+    qv = F.col(vec_col).cast("array<double>")
+    qsc = F.transform(
+        F.sequence(F.lit(1), F.lit(n_centroids)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
+        ),
+    )
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _cell_scores(cent_arr, qv).alias("sc"),
+            _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(qsc), 1, nprobe),
+                    lambda p: p["idx"].cast("long"),
+                )
+            ),
+        )
+        .drop("sc")
+    )
+    scored = (
+        cells.join(F.broadcast(qs), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
+                ),
+            ).alias("adist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )

@@ -2256,6 +2256,45 @@ def emb_ivfpq_q(spark, sf_dir):
     )
 
 
+def ensure_ivfpq_index(spark, sf_dir) -> str:
+    """Build-once materialized IVF-PQ index keyed to the embeddings
+    table's identity (same contract as ensure_ivf_index / ensure_pq_index)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.similarity import ivfpq_build_index
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/ivfpq_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    if not os.path.isdir(os.path.join(base, "cells")):
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        ivfpq_build_index(t(spark, sf_dir, "embeddings"), staging, n_centroids=16)
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return base
+
+
+@q(
+    "emb_ivfpq_indexed",
+    _IVFPQ_SQL,
+    "IVF-PQ against a MATERIALIZED index (centroids + codebooks + the "
+    "9-bytes-per-row cells table built in ONE fused corpus scan): a query "
+    "batch reads only the probed slice of the cells table — neither the "
+    "embedding column nor unprobed cells — and must be byte-identical to "
+    "the inline ivfpq_topk composition; the shared twin pins exactly that",
+)
+def emb_ivfpq_indexed_q(spark, sf_dir):
+    from .operators.similarity import ivfpq_query_index
+
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_query_index(
+        spark, idx, emb.filter(F.col("vec_id") % 100 == 0), k=10, nprobe=4
+    )
+
+
 @q(
     "emb_pq_indexed",
     _PQ_SQL,
@@ -3790,6 +3829,7 @@ _REGISTRY_ORDER = [
     # IVF-PQ composition (round 5, late) — overflow; verified by
     # tools/oracle_check.py
     "emb_ivfpq_topk",
+    "emb_ivfpq_indexed",
 ]
 
 

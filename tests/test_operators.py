@@ -1238,3 +1238,58 @@ def test_ivfpq_equals_pq_when_probes_cover_cluster(spark):
         for r in ivfpq_topk(df, qs, k=5, n_centroids=8, nprobe=3).collect()
     }
     assert via_ivfpq == via_pq
+
+
+def test_ivfpq_index_build_append_query(spark, tmp_path):
+    """Materialized IVF-PQ lifecycle: build fuses cell assignment + code
+    encoding into one pass; append assigns/encodes a new batch against the
+    FROZEN centroids + codebooks; cross-batch clones are found at rank 1;
+    and the full-build indexed path equals the inline ivfpq_topk
+    composition exactly."""
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_build_index,
+        ivfpq_query_index,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+
+    batch1 = [(i, vec()) for i in range(40)]
+    batch2 = [(100, batch1[7][1]), (101, batch1[23][1])] + [
+        (110 + i, vec()) for i in range(20)
+    ]
+    schema = "vec_id: long, embedding: array<float>"
+    b1 = spark.createDataFrame(batch1, schema)
+    b2 = spark.createDataFrame(batch2, schema)
+
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(b1, idx, n_centroids=4)
+    ivfpq_append_index(b2, idx)
+
+    queries = spark.createDataFrame([(7, batch1[7][1]), (100, batch1[7][1])], schema)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivfpq_query_index(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+    # a clone shares the cell (always probed: it is the query's own best
+    # cell) and every code -> minimum ADC distance, rank 1
+    assert got[(7, 1)] == 100 and got[(100, 1)] == 7
+
+    allv = b1.unionByName(b2)
+    idx2 = str(tmp_path / "ivfpq_full")
+    ivfpq_build_index(allv, idx2, n_centroids=4)
+    qs = allv.filter("vec_id % 10 = 0")
+    via_index = {
+        tuple(r) for r in ivfpq_query_index(spark, idx2, qs, k=5, nprobe=2).collect()
+    }
+    inline = {
+        tuple(r) for r in ivfpq_topk(allv, qs, k=5, n_centroids=4, nprobe=2).collect()
+    }
+    assert via_index == inline

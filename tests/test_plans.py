@@ -454,3 +454,25 @@ def test_hashed_linear_classifier_plan_hygiene(spark):
     plan2 = pi.formatted(via_table)
     assert pi.count_broadcast_joins(via_table) >= 1
     assert "SortMergeJoin" not in plan2
+
+
+def test_ivfpq_indexed_plan_scans_cells_only(spark, tmp_path):
+    """Indexed IVF-PQ: the corpus side of a query batch is a FileScan of
+    the materialized cells table (9 bytes/row) joined on the probed
+    buckets — the embedding column is read once, for the broadcast query
+    side, and neither cosine re-scoring nor code re-encoding of the
+    corpus appears in the plan."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, idx, n_centroids=8)
+    out = ivfpq_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5, nprobe=2)
+    plan = pi.formatted(out)
+    assert "CartesianProduct" not in plan
+    assert pi.count_broadcast_joins(out) >= 1
+    assert plan.count("embeddings.parquet") == 1
+    assert "/cells" in plan
