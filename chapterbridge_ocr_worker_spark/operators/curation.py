@@ -38,17 +38,44 @@ from .textstats import token_count, tokens
 # true 10^12-doc scale ids exceed P and the first pmod is load-bearing.)
 KNUTH = 2654435761
 MIX_SEED = 12345
+# a DIFFERENT seed for the held-out split: were it MIX_SEED, val docs
+# (lowest hash values) would be exactly the docs every hash-threshold
+# sampler keeps first — a correlated, biased eval set
+SPLIT_SEED = 670617
 
 
-def doc_hash(doc_id: Column) -> Column:
+def doc_hash(doc_id: Column, seed: int = MIX_SEED) -> Column:
     """Portable uniform hash of a numeric id into [0, MH_PRIME): identical
     integer arithmetic in Spark and DuckDB (no engine hash function), so
     sampling decisions survive engine migration — same rationale as
     dedup.portable_token_hash."""
     return F.pmod(
         F.pmod(doc_id.cast("long"), F.lit(MH_PRIME)) * F.lit(KNUTH)
-        + F.lit(MIX_SEED),
+        + F.lit(seed),
         F.lit(MH_PRIME),
+    )
+
+
+def train_val_split(
+    df: DataFrame, val_permille: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic held-out split: a doc is 'val' iff its portable hash
+    (SPLIT_SEED stream, decorrelated from the mixing sampler's) falls in
+    the lowest val_permille/1000 of the hash range — integer threshold
+    arithmetic, no float rates.
+
+    The property that matters at 100 TB: membership is a pure function of
+    the doc's OWN id, so next week's appended crawl slice never moves an
+    existing doc between train and val — eval sets stay frozen under
+    corpus growth without storing a membership table, and any engine
+    (Spark, DuckDB, the trainer's dataloader) recomputes the identical
+    split. Returns (id_col, split) with split in {'train', 'val'}."""
+    thr = (MH_PRIME * val_permille) // 1000
+    return df.select(
+        F.col(id_col),
+        F.when(doc_hash(F.col(id_col), seed=SPLIT_SEED) < F.lit(thr), "val")
+        .otherwise("train")
+        .alias("split"),
     )
 
 

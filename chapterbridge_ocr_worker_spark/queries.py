@@ -2150,6 +2150,49 @@ def emb_pq_q(spark, sf_dir):
     return pq_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10)
 
 
+def ensure_snapshotted_docs(spark, sf_dir) -> str:
+    """Build-once 3-snapshot copy of the documents table, split on fixed
+    doc_id ranges ([0,100), [100,300), [300,inf)) and appended with
+    manifest min/max stats — the weekly-crawl layout the file-skipping
+    reader prunes. Staging + rename commit, keyed to the source identity
+    (same contract as ensure_ivf_index)."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.tables import append_snapshot
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/snapdocs_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    if not os.path.isdir(os.path.join(base, "docs")):
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        for lo, hi in ((0, 100), (100, 300), (300, None)):
+            part = d.filter(F.col("doc_id") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("doc_id") < hi)
+            append_snapshot(part, staging, "docs", stats_cols=["doc_id"])
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return base
+
+
+@q(
+    "table_pruned_range",
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id BETWEEN 120 AND 260",
+    "manifest-stats file skipping as a query: a doc_id range read against "
+    "a 3-snapshot table (weekly-crawl layout, min/max recorded per "
+    "snapshot) — read_table_pruned skips the two disjoint snapshot dirs "
+    "driver-side and the twin is the plain range filter it must equal",
+)
+def table_pruned_range_q(spark, sf_dir):
+    from .sources.tables import read_table_pruned
+
+    root = ensure_snapshotted_docs(spark, sf_dir)
+    return read_table_pruned(spark, root, "docs", "doc_id", 120, 260)
+
+
 def ensure_pq_index(spark, sf_dir) -> str:
     """Build-once materialized PQ index keyed to the embeddings table's
     identity (same contract as ensure_ivf_index: the encode pass belongs
@@ -3446,6 +3489,26 @@ def text_pii_scan_q(spark, sf_dir):
 
 
 @q(
+    "curate_train_val_split",
+    """
+    SELECT doc_id,
+           CASE WHEN ((doc_id % 2147483647) * 2654435761 + 670617)
+                     % 2147483647 < 21474836
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+    "deterministic held-out split (1% val): portable integer hash with a "
+    "seed stream decorrelated from the mixing sampler's, so membership is "
+    "a pure function of the doc id — frozen under corpus growth, "
+    "recomputable by any engine, no membership table",
+)
+def curate_train_val_split_q(spark, sf_dir):
+    from .operators.curation import train_val_split
+
+    return train_val_split(t(spark, sf_dir, "documents"))
+
+
+@q(
     "curate_mix_sample",
     """
     WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
@@ -3830,6 +3893,8 @@ _REGISTRY_ORDER = [
     # tools/oracle_check.py
     "emb_ivfpq_topk",
     "emb_ivfpq_indexed",
+    "curate_train_val_split",
+    "table_pruned_range",
 ]
 
 

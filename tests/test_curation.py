@@ -321,3 +321,25 @@ def test_incremental_segment_dedup_frozen_prior(spark):
     assert set(out) == {100, 101}
     assert out[100]["text_clean"] == "c d" and out[100]["n_removed"] == 1
     assert out[101]["text_clean"] == "e f" and out[101]["n_removed"] == 1
+
+
+def test_train_val_split_frozen_under_growth(spark):
+    """The held-out split's load-bearing properties: (a) membership is a
+    pure function of the doc's own id — appending next week's slice moves
+    NO existing doc between train and val; (b) the val fraction lands
+    near val_permille/1000; (c) the split stream is decorrelated from the
+    mixing sampler's hash (different seeds), not a subset of its keeps."""
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        train_val_split,
+    )
+
+    week1 = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    both = spark.range(0, 8000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in train_val_split(week1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_val_split(both).collect()}
+    assert all(s2[d] == s for d, s in s1.items())  # frozen under growth
+    n_val = sum(1 for v in s2.values() if v == "val")
+    assert 0.004 < n_val / 8000 < 0.02  # ~1% with hash noise
+    # 50% val_permille splits the corpus roughly in half (threshold sanity)
+    half = train_val_split(both, val_permille=500).filter("split = 'val'").count()
+    assert 0.45 < half / 8000 < 0.55
