@@ -975,12 +975,11 @@ def ivfpq_build_index(
     tables under index_path. The two expensive corpus passes — cell
     assignment and code encoding — are fused into ONE scan and paid at
     build time; a query batch then touches only the probed slice of the
-    9-bytes-per-row cells table. At sf0.1 the indexed query roughly
-    breaks even with the inline composition (~5-7 s warm either way: the
-    query-side centroid/ADC-table expressions and the extra exchange
-    dominate at toy scale) — the win is structural: per query batch the
-    CORPUS-sized assign+encode pass disappears, which is the entire cost
-    at 100 TB."""
+    9-bytes-per-row cells table. Measured at sf0.1 (best-of-k, BENCH.md
+    closing sweep): 2.78 s indexed vs 4.94 s inline warm — ~1.8x even at
+    toy scale; the structural win is that the CORPUS-sized assign+encode
+    pass disappears per query batch, which is the entire cost at
+    100 TB."""
     from ..sources.tables import append_snapshot, write_table
 
     spark = corpus.sparkSession
