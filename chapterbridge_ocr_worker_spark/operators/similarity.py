@@ -544,7 +544,9 @@ def incremental_cosine_neardup(
 IVF_REBUILD_SKEW = 8.0
 
 
-def ivf_index_stats(spark, index_path: str) -> dict:
+def ivf_index_stats(
+    spark, index_path: str, assignments_table: str = "assignments"
+) -> dict:
     """Health metrics of a materialized IVF index — the rebuild trigger
     ivf_append_index's docstring promises ("rebuild when cell-size skew
     degrades probe recall"), measurable instead of eyeballed.
@@ -553,12 +555,14 @@ def ivf_index_stats(spark, index_path: str) -> dict:
     aggregate over the (bucket) column. ``rebuild_recommended`` fires when
     max/median cell size exceeds IVF_REBUILD_SKEW or any centroid's cell
     is empty (both are drift signatures a long-running append-only
-    pipeline accumulates)."""
+    pipeline accumulates). Works on any (bucket)-carrying cell table:
+    pass assignments_table="cells" to health-check a materialized IVF-PQ
+    index (ivfpq_build_index) — same drift signatures, same trigger."""
     from ..sources.tables import read_table
 
     cents = read_table(spark, index_path, "centroids").select("bucket")
     sizes = (
-        read_table(spark, index_path, "assignments")
+        read_table(spark, index_path, assignments_table)
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )

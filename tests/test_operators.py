@@ -1293,3 +1293,37 @@ def test_ivfpq_index_build_append_query(spark, tmp_path):
         tuple(r) for r in ivfpq_topk(allv, qs, k=5, n_centroids=4, nprobe=2).collect()
     }
     assert via_index == inline
+
+
+def test_ivf_index_stats_applies_to_ivfpq_cells(spark, tmp_path):
+    """The drift trigger generalizes to the composed index: stats over the
+    IVF-PQ cells table report the same populations the IVF assignments
+    would, and a drifted appended batch flips rebuild_recommended."""
+    import random
+
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        ivf_index_stats,
+        ivfpq_append_index,
+        ivfpq_build_index,
+    )
+
+    rng = random.Random(3)
+    dim = 16
+    base = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(60)
+    ]
+    schema = "vec_id: long, embedding: array<float>"
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(spark.createDataFrame(base, schema), idx, n_centroids=4)
+    healthy = ivf_index_stats(spark, idx, assignments_table="cells")
+    assert healthy["n_vectors"] == 60 and healthy["n_centroids"] == 4
+
+    # a shifted batch 10x the corpus collapses into few cells -> skew
+    drift = [
+        (1000 + i, [round(10.0 + rng.uniform(0, 0.1), 3)] * dim)
+        for i in range(600)
+    ]
+    ivfpq_append_index(spark.createDataFrame(drift, schema), idx)
+    drifted = ivf_index_stats(spark, idx, assignments_table="cells")
+    assert drifted["n_vectors"] == 660
+    assert drifted["rebuild_recommended"] is True
