@@ -281,14 +281,14 @@ def read_table_pruned(
         return None
     m = _read_manifest(path)
 
-    def _pred(d):
+    def _pred():
         return (F.col(col) >= F.lit(lo) if lo is not None else F.lit(True)) & (
             F.col(col) <= F.lit(hi) if hi is not None else F.lit(True)
         )
 
     if m is None:  # legacy table: no stats anywhere, plain filtered read
         full = read_table(spark, root, name, schema)
-        return None if full is None else full.filter(_pred(None))
+        return None if full is None else full.filter(_pred())
     stats = m.get("column_stats", {})
     keep, dirs = [], []
     for s in m["snapshots"]:
@@ -301,16 +301,25 @@ def read_table_pruned(
             keep.append(d)  # no stats -> cannot skip
             continue
         mn, mx = rng
-        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+        try:
+            disjoint = (hi is not None and mn > hi) or (
+                lo is not None and mx < lo
+            )
+        except TypeError:
+            # stats were JSON-degraded to strings (exotic column type) but
+            # the bounds are not comparable to them: never crash a read
+            # over a skip decision — fall back to scanning the snapshot
+            disjoint = False
+        if disjoint:
             continue  # provably disjoint: skip the whole directory
         keep.append(d)
     if not dirs:
         return None
     if not keep:  # every snapshot pruned: empty result, schema preserved
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(dirs[0]).limit(0).filter(_pred(None))
+        return reader.parquet(dirs[0]).limit(0).filter(_pred())
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*keep).filter(_pred(None))
+    return reader.parquet(*keep).filter(_pred())
 
 
 def _snap_millis(snap_name: str) -> int | None:
