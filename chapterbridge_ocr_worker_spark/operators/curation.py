@@ -597,3 +597,52 @@ def shard_pack(
         F.expr(f"(cum - n_tokens) div {budget}").alias("shard_id"),
         "n_tokens",
     )
+
+
+# --------------------------------------------------------------------------
+# context-window chunking (docs -> fixed-length training sequences)
+# --------------------------------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token sequence into training-sequence windows
+    of ``max_tokens`` tokens advancing by ``stride`` (overlap =
+    max_tokens - stride) — the chunking step between a packed corpus and a
+    fixed-context trainer. A doc with n tokens yields
+    ceil(max(n - max_tokens, 0) / stride) + 1 windows, so every token is
+    covered and the tail window is never empty; empty docs yield no rows
+    (no training signal).
+
+    One explode per doc — output rows are bounded by total-tokens/stride,
+    and the whole operator is column expressions (slice over the token
+    array), no shuffle at all until whatever consumes the chunks. Returns
+    (id_col, chunk_idx, n_chunk_tokens, chunk_text)."""
+    if not (0 < stride <= max_tokens):
+        raise ValueError("need 0 < stride <= max_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # integer ceil((n - max_tokens) / stride), clamped at 0
+    last = F.greatest(
+        F.floor((n - F.lit(max_tokens) + F.lit(stride - 1)) / F.lit(stride)),
+        F.lit(0),
+    ).cast("int")
+    base = df.filter(n > 0).select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * F.lit(stride) + F.lit(1), F.lit(max_tokens)
+    )
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

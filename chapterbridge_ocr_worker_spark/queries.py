@@ -3509,6 +3509,41 @@ def curate_train_val_split_q(spark, sf_dir):
 
 
 @q(
+    "curate_chunk_windows",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+                GREATEST((len(toks) - 32 + 23) // 24, 0))) AS chunk_idx
+      FROM tk WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32))
+                AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_idx*24 + 1,
+                                      chunk_idx*24 + 32), ' ') AS chunk_text
+    FROM base
+    """,
+    "context-window chunking: each doc's token sequence split into "
+    "32-token training windows advancing by 24 (8-token overlap), tail "
+    "window never empty, empty docs dropped — one explode per doc, all "
+    "column expressions",
+)
+def curate_chunk_windows_q(spark, sf_dir):
+    from .operators.curation import chunk_windows
+
+    return chunk_windows(
+        t(spark, sf_dir, "documents"), max_tokens=32, stride=24
+    )
+
+
+@q(
     "curate_mix_sample",
     """
     WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
@@ -3895,6 +3930,7 @@ _REGISTRY_ORDER = [
     "emb_ivfpq_indexed",
     "curate_train_val_split",
     "table_pruned_range",
+    "curate_chunk_windows",
 ]
 
 

@@ -343,3 +343,39 @@ def test_train_val_split_frozen_under_growth(spark):
     # 50% val_permille splits the corpus roughly in half (threshold sanity)
     half = train_val_split(both, val_permille=500).filter("split = 'val'").count()
     assert 0.45 < half / 8000 < 0.55
+
+
+def test_chunk_windows_coverage_and_tail(spark):
+    """Every token is covered, windows advance by stride with the promised
+    overlap, the tail window is never empty, short docs yield exactly one
+    full-doc window, and empty docs yield nothing."""
+    from chapterbridge_ocr_worker_spark.operators.curation import chunk_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(toks)),      # 10 tokens, max 4 / stride 3
+            (2, "a b"),               # shorter than max -> one window
+            (3, ""),                  # nothing
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_windows(df, max_tokens=4, stride=3).collect()
+    }
+    # doc 1: ceil((10-4)/3)+1 = 3 windows at offsets 0,3,6
+    assert {i for (d, i) in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")  # tail clamped, never empty
+    assert rows[(2, 0)] == (2, "a b")
+    assert not any(d == 3 for (d, i) in rows)
+    # coverage: union of window tokens == all tokens
+    covered = set()
+    for (d, i), (_, txt) in rows.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == set(toks)
+    with __import__("pytest").raises(ValueError):
+        chunk_windows(df, max_tokens=4, stride=5)
