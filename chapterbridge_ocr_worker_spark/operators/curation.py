@@ -646,3 +646,67 @@ def chunk_windows(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    budget_frac_num: int = 1,
+    budget_frac_den: int = 2,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax language balancing (Chung et al. 2023): give every language
+    an EQUAL share of the budget, capped at ``max_epochs`` passes over its
+    data, redistributing what capped languages can't absorb — the
+    principled alternative to temperature mixing (mix_sample), which
+    still over-allocates to head languages at any alpha.
+
+    Waterfilling, ascending by corpus size: for each language,
+    alloc = min(n_lang * max_epochs, remaining_budget // langs_left).
+    All integer arithmetic; the loop runs DRIVER-SIDE over the
+    n_languages-row stats aggregate (5 rows here; languages are
+    thousands at worst — broadcast-equivalent, same contract as the IVF
+    centroid sample). Budget counts DOCS; a token-budget variant is the
+    same arithmetic over summed token counts.
+
+    Returns every doc with its materialized multiplicity:
+    (doc_id, lang, n_copies) where n_copies = alloc_lang // n_lang full
+    epochs + 1 more iff the doc's portable hash clears the fractional-
+    epoch threshold — deterministic, bit-identical across engines, and
+    sums to the allocation (docs a trainer repeats, not a float rate)."""
+    stats = sorted(
+        (
+            (r["lang"], r["n"])
+            for r in df.groupBy(F.col(lang_col).alias("lang"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    total = sum(n for _, n in stats)
+    remaining = (total * budget_frac_num) // budget_frac_den
+    rows, k = [], len(stats)
+    for lang, n in stats:
+        alloc = min(n * max_epochs, remaining // k)
+        remaining -= alloc
+        k -= 1
+        thr = ((alloc % n) * MH_PRIME) // n
+        rows.append((lang, int(alloc // n), int(thr)))
+    spark = df.sparkSession
+    alloc_df = spark.createDataFrame(rows, "lang: string, epochs: int, thr: long")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            doc_hash(F.col(id_col)).alias("h"),
+        )
+        .join(F.broadcast(alloc_df), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("epochs") + (F.col("h") < F.col("thr")).cast("int")).alias(
+                "n_copies"
+            ),
+        )
+    )

@@ -3544,6 +3544,55 @@ def curate_chunk_windows_q(spark, sf_dir):
 
 
 @q(
+    "curate_unimax_sample",
+    """
+    WITH RECURSIVE l AS (
+      SELECT lang, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*), lang) AS rn
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM l),
+    wf AS (
+      SELECT CAST(0 AS BIGINT) AS rn, (total * 1 // 2) AS remaining,
+             k AS kleft, CAST(0 AS BIGINT) AS alloc,
+             CAST(NULL AS VARCHAR) AS lang, CAST(1 AS BIGINT) AS n
+      FROM tot
+      UNION ALL
+      SELECT l.rn, wf.remaining - LEAST(l.n * 2, wf.remaining // wf.kleft),
+             wf.kleft - 1,
+             LEAST(l.n * 2, wf.remaining // wf.kleft),
+             l.lang, l.n
+      FROM wf JOIN l ON l.rn = wf.rn + 1
+    ),
+    rates AS (
+      SELECT lang, CAST(alloc // n AS INT) AS epochs,
+             ((alloc % n) * 2147483647) // n AS thr
+      FROM wf WHERE rn > 0
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(r.epochs + CASE WHEN ((d.doc_id % 2147483647) * 2654435761
+                                      + 12345) % 2147483647 < r.thr
+                                THEN 1 ELSE 0 END AS INT) AS n_copies
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    """,
+    "UniMax language balancing: equal budget shares capped at 2 epochs "
+    "per language, waterfilled ascending by size (the twin reruns the "
+    "waterfill as a recursive CTE); output is each doc's materialized "
+    "integer multiplicity — full epochs + a portable-hash fractional "
+    "epoch — bit-identical across engines",
+)
+def curate_unimax_sample_q(spark, sf_dir):
+    from .operators.curation import unimax_sample
+
+    return unimax_sample(
+        t(spark, sf_dir, "documents"),
+        budget_frac_num=1,
+        budget_frac_den=2,
+        max_epochs=2,
+    )
+
+
+@q(
     "curate_mix_sample",
     """
     WITH tot AS (SELECT COUNT(*) AS n_total FROM documents),
@@ -3931,6 +3980,7 @@ _REGISTRY_ORDER = [
     "curate_train_val_split",
     "table_pruned_range",
     "curate_chunk_windows",
+    "curate_unimax_sample",
 ]
 
 

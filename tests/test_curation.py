@@ -379,3 +379,30 @@ def test_chunk_windows_coverage_and_tail(spark):
     assert covered == set(toks)
     with __import__("pytest").raises(ValueError):
         chunk_windows(df, max_tokens=4, stride=5)
+
+
+def test_unimax_waterfill_caps_and_redistributes(spark):
+    """Designed mix: tiny (10 docs) and mid (100) languages cap at
+    max_epochs=2 and the unabsorbed budget waterfalls to the big language.
+    Budget 500 of 1000 docs: tiny alloc=20, mid alloc=200, big gets the
+    remaining 280 of its 890 (epochs 0 + ~31% fractional). Deterministic:
+    a rerun is byte-identical."""
+    from chapterbridge_ocr_worker_spark.operators.curation import unimax_sample
+
+    rows = (
+        [(i, "tiny") for i in range(10)]
+        + [(100 + i, "mid") for i in range(100)]
+        + [(1000 + i, "big") for i in range(890)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = unimax_sample(df, 1, 2, max_epochs=2).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["n_copies"])
+    assert set(by_lang["tiny"]) == {2} and len(by_lang["tiny"]) == 10
+    assert set(by_lang["mid"]) == {2} and len(by_lang["mid"]) == 100
+    assert set(by_lang["big"]) <= {0, 1}
+    got_big = sum(by_lang["big"])
+    assert abs(got_big - 280) < 60  # hash-uniform fractional epoch
+    again = sorted(tuple(r) for r in unimax_sample(df, 1, 2, max_epochs=2).collect())
+    assert again == sorted(tuple(r) for r in out)
