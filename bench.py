@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "text_lm_score_frozen",
     "url_dedup_keep",
     "text_quality_classifier",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

@@ -3543,6 +3543,159 @@ def curate_chunk_windows_q(spark, sf_dir):
     )
 
 
+_BM25_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN len(lower(trim(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, SUM(len(toks)) AS sumdl,
+             SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df2
+      FROM tk
+    ),
+    pf AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf2
+      FROM tk
+    ),
+    sc AS (
+      SELECT doc_id,
+        ROUND(0.0
+          + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                     / (CAST(df0 AS DOUBLE) + 0.5))
+            * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl
+                 / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+          + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                     / (CAST(df1 AS DOUBLE) + 0.5))
+            * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl
+                 / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+          + ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                     / (CAST(df2 AS DOUBLE) + 0.5))
+            * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl
+                 / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+        , 4) AS bm25_r
+      FROM pf, st
+    ),
+    ranked AS (
+      SELECT doc_id, bm25_r,
+             row_number() OVER (ORDER BY bm25_r DESC, doc_id) AS rank
+      FROM sc WHERE bm25_r > 0
+    )
+    SELECT doc_id, bm25_r, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@q(
+    "search_bm25_topk",
+    _BM25_SQL,
+    "Okapi BM25 keyword search (Lucene idf form) for terms {hash, join, "
+    "vector}: one exact-integer corpus-stats aggregate (N, total length, "
+    "per-term df) + a scoring projection + TakeOrdered(10) — idf/tf float "
+    "ops appear in the same textual order in the twin and round at 4 dp",
+)
+def search_bm25_q(spark, sf_dir):
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=10
+    )
+
+
+_HYBRID_SQL = (
+    _BM25_SQL.rsplit("SELECT doc_id, bm25_r, rank FROM ranked", 1)[0].rstrip()
+    + ","
+    + r"""
+    ec AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id * 2654435761) % 2147483647 AS h
+      FROM embeddings
+    ),
+    ecl AS (
+      SELECT list(v ORDER BY h, vec_id) AS cents
+      FROM (SELECT v, h, vec_id FROM ec ORDER BY h, vec_id LIMIT 16)
+    ),
+    esc AS (
+      SELECT vec_id, v,
+             list_transform((SELECT cents FROM ecl), cc ->
+               ROUND(list_dot_product(v, cc) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cc, cc))),
+                     4)) AS s
+      FROM ec
+    ),
+    ecorp AS (SELECT vec_id AS neighbor_id, v AS cvec,
+                     list_position(s, list_max(s)) AS bucket FROM esc),
+    eprobes AS (
+      SELECT vec_id AS query_id, v AS qvec,
+             unnest(list_transform(list_slice(list_sort(
+                 list_transform(generate_series(1, 16),
+                                i -> [-s[i], CAST(i AS DOUBLE)])
+               ), 1, 4), p -> CAST(p[2] AS BIGINT))) AS bucket
+      FROM esc WHERE vec_id = 0
+    ),
+    escored AS (
+      SELECT p.query_id, o.neighbor_id,
+             list_dot_product(p.qvec, o.cvec) /
+               (sqrt(list_dot_product(p.qvec, p.qvec))
+                * sqrt(list_dot_product(o.cvec, o.cvec))) AS cos
+      FROM eprobes p JOIN ecorp o ON o.bucket = p.bucket
+      WHERE o.neighbor_id <> p.query_id
+    ),
+    eranked AS (
+      SELECT neighbor_id AS doc_id,
+             row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank
+      FROM escored
+    ),
+    fused AS (
+      SELECT doc_id, SUM(c) AS rrf_q FROM (
+        SELECT doc_id, CAST(FLOOR(1000000 / (60 + rank)) AS BIGINT) AS c
+        FROM ranked WHERE rank <= 10
+        UNION ALL
+        SELECT doc_id, CAST(FLOOR(1000000 / (60 + rank)) AS BIGINT) AS c
+        FROM eranked WHERE rank <= 10
+      ) GROUP BY doc_id
+    ),
+    franked AS (
+      SELECT doc_id, rrf_q,
+             row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
+      FROM fused
+    )
+    SELECT doc_id, rrf_q, rank FROM franked WHERE rank <= 10
+    """
+)
+
+
+@q(
+    "search_hybrid_rrf",
+    _HYBRID_SQL,
+    "hybrid retrieval: BM25 top-10 for {hash, join, vector} fused with "
+    "IVF-ANN top-10 for query vector 0 by reciprocal-rank fusion — RRF "
+    "contributions are exact fixed-point integers "
+    "(floor(1e6/(60+rank))), so the fused order is engine-independent by "
+    "construction; the twin recomputes both retrievers and the fusion",
+)
+def search_hybrid_q(spark, sf_dir):
+    from .operators.search import bm25_topk, rrf_fuse
+    from .operators.similarity import ivf_topk
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lexical = bm25_topk(docs, ["hash", "join", "vector"], k=10).select(
+        "doc_id", "rank"
+    )
+    ann = (
+        ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=10,
+                 n_centroids=16, nprobe=4)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lexical, ann], k=10)
+
+
 @q(
     "curate_unimax_sample",
     """
@@ -3981,6 +4134,8 @@ _REGISTRY_ORDER = [
     "table_pruned_range",
     "curate_chunk_windows",
     "curate_unimax_sample",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 

@@ -1327,3 +1327,42 @@ def test_ivf_index_stats_applies_to_ivfpq_cells(spark, tmp_path):
     drifted = ivf_index_stats(spark, idx, assignments_table="cells")
     assert drifted["n_vectors"] == 660
     assert drifted["rebuild_recommended"] is True
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 pins: tf raises the score, document-length normalization
+    lowers it at equal tf, and docs containing no query term are absent
+    (score > 0 filter)."""
+    from chapterbridge_ocr_worker_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash hash hash join"),              # high tf, short
+            (2, "hash join"),                        # low tf, short
+            (3, "hash join " + "filler " * 40),      # same tf as 2, long
+            (4, "completely unrelated words here"),  # no term: absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["hash", "join"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert 4 not in ranks
+    assert ranks[1] < ranks[2] < ranks[3]
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF pins: present-in-both beats present-in-one; at equal fused
+    score the id tiebreak is ascending; contributions are the exact
+    fixed-point integers floor(1e6/(60+rank))."""
+    from chapterbridge_ocr_worker_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], ["doc_id", "rank"])
+    rows = {r["doc_id"]: (r["rrf_q"], r["rank"]) for r in rrf_fuse([a, b]).collect()}
+    f = lambda r: 1_000_000 // (60 + r)
+    assert rows[20][0] == f(2) + f(1)
+    assert rows[10][0] == f(1) + f(3)
+    assert rows[30][0] == f(3) and rows[40][0] == f(2)
+    # both-lists docs outrank single-list docs here
+    assert rows[20][1] == 1 and rows[10][1] == 2
+    assert rows[40][1] == 3 and rows[30][1] == 4
