@@ -47,6 +47,7 @@ from chapterbridge_ocr_worker_spark.queries import (
     ensure_dedup_prior_state,
     ensure_emb_prior_sigs,
     ensure_ivf_index,
+    ensure_bm25_index,
     ensure_ivfpq_index,
     ensure_pq_index,
     ensure_segment_prior_set,
@@ -107,6 +108,7 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "search_bm25_indexed",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run
@@ -154,6 +156,7 @@ def main() -> None:
     ensure_ivf_index(spark, sf_dir)  # index build = the indexing run's cost
     ensure_pq_index(spark, sf_dir)  # PQ encode pass = the indexing run's cost
     ensure_ivfpq_index(spark, sf_dir)  # fused assign+encode = the indexing run's cost
+    ensure_bm25_index(spark, sf_dir)  # tokenize+tf postings = the indexing run's cost
     ensure_segment_prior_set(spark, sf_dir)  # prior crawl's segment set
     release_caches()
 

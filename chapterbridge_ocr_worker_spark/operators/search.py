@@ -132,3 +132,120 @@ def rrf_fuse(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def build_inverted_index(
+    corpus: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the lexical index: a ``postings`` table
+    (term, doc_id, tf, dl) — one row per distinct term per doc — and a
+    one-row ``stats`` table (n_docs, sumdl). The search sibling of the
+    PQ/IVF indexes: tokenization and tf-counting are paid ONCE; a query
+    then reads only its own terms' postings (predicate pushdown on the
+    term column; at 100 TB the postings table is bucketed/sorted by term
+    so a k-term query opens k row-ranges, not the corpus). New crawl
+    slices snapshot-append; document frequencies are per-term COUNTs over
+    postings, so appends need no stats rebuild beyond the one-row
+    totals."""
+    from ..sources.tables import append_snapshot, write_table
+
+    toks = _doc_tokens(F.col(text_col))
+    base = corpus.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    postings = (
+        base.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    append_snapshot(postings, index_path, "postings")
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("sumdl")
+    )
+    write_table(stats, index_path, "stats")
+
+
+def bm25_query_index(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 against the materialized postings: reads ONLY the query
+    terms' posting rows (an IN-filter the parquet scan pushes down) plus
+    the one-row stats table — the corpus text is never touched.
+    Byte-identical to the inline bm25_topk when the index was built from
+    the same corpus: identical idf/tf/length inputs, identical float
+    expression order."""
+    from ..sources.tables import read_table
+
+    st = read_table(spark, index_path, "stats").collect()[0]
+    n_docs, sumdl = int(st["n_docs"]), int(st["sumdl"])
+    post = read_table(spark, index_path, "postings").filter(
+        F.col("term").isin(query_terms)
+    )
+    dfs = {
+        r["term"]: r["n"]
+        for r in post.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    avgdl = F.lit(float(sumdl)) / F.lit(float(n_docs))
+    dl = F.col("dl").cast("double")
+    tf = F.col("tf").cast("double")
+    # per-term partial score from the posting row, then one sum per doc;
+    # the fold order (term list order) matches the inline expression
+    contribs = []
+    for t in query_terms:
+        df_t = int(dfs.get(t, 0))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.lit(float(df_t)) + F.lit(0.5))
+            / (F.lit(float(df_t)) + F.lit(0.5))
+        )
+        contribs.append(
+            post.filter(F.col("term") == t).select(
+                "doc_id",
+                F.lit(query_terms.index(t)).alias("ord"),
+                (
+                    idf
+                    * (
+                        tf
+                        * F.lit(k1 + 1.0)
+                        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+                    )
+                ).alias("part"),
+            )
+        )
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    scored = (
+        unioned.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ord"), F.col("part")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["part"],
+                ),
+                4,
+            ).alias("bm25_r")
+        )
+        .filter(F.col("bm25_r") > 0)
+    )
+    return (
+        scored.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )

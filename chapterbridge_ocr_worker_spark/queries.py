@@ -3607,6 +3607,42 @@ def search_bm25_q(spark, sf_dir):
     )
 
 
+def ensure_bm25_index(spark, sf_dir) -> str:
+    """Build-once materialized inverted index keyed to the documents
+    table's identity (same contract as ensure_ivf_index)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.search import build_inverted_index
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/bm25_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    if not os.path.isdir(os.path.join(base, "postings")):
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        build_inverted_index(t(spark, sf_dir, "documents"), staging)
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return base
+
+
+@q(
+    "search_bm25_indexed",
+    _BM25_SQL,
+    "BM25 against a MATERIALIZED inverted index (postings (term, doc_id, "
+    "tf, dl) + one-row stats): a query reads only its own terms' posting "
+    "rows (term IN-filter pushed to the parquet scan) — the corpus text "
+    "is never touched — and must be byte-identical to the inline "
+    "search_bm25_topk; the shared twin pins exactly that",
+)
+def search_bm25_indexed_q(spark, sf_dir):
+    from .operators.search import bm25_query_index
+
+    idx = ensure_bm25_index(spark, sf_dir)
+    return bm25_query_index(spark, idx, ["hash", "join", "vector"], k=10)
+
+
 _HYBRID_SQL = (
     _BM25_SQL.rsplit("SELECT doc_id, bm25_r, rank FROM ranked", 1)[0].rstrip()
     + ","
@@ -4136,6 +4172,7 @@ _REGISTRY_ORDER = [
     "curate_unimax_sample",
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "search_bm25_indexed",
 ]
 
 

@@ -1366,3 +1366,34 @@ def test_rrf_fusion_semantics(spark):
     # both-lists docs outrank single-list docs here
     assert rows[20][1] == 1 and rows[10][1] == 2
     assert rows[40][1] == 3 and rows[30][1] == 4
+
+
+def test_bm25_indexed_equals_inline(spark, tmp_path):
+    """The postings-table path must be byte-identical to the inline
+    scorer: identical idf/tf/length inputs, identical float fold order —
+    including docs matching only SOME query terms, terms with df=0, and
+    append-grown indexes (df comes from postings counts, so a new slice
+    changes scores exactly as an inline rescore would... given the stats
+    row is rebuilt, which build_inverted_index owns)."""
+    from chapterbridge_ocr_worker_spark.operators.search import (
+        bm25_query_index,
+        bm25_topk,
+        build_inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash scan"),
+            (2, "join vector"),
+            (3, "vector vector vector filler words"),
+            (4, "nothing relevant at all"),
+            (5, "hash " + "pad " * 30),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "inv")
+    build_inverted_index(df, idx)
+    terms = ["hash", "join", "vector", "zzz_absent"]
+    inline = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
+    indexed = [tuple(r) for r in bm25_query_index(spark, idx, terms, k=10).collect()]
+    assert indexed == inline and len(inline) == 4  # doc 4 absent

@@ -476,3 +476,22 @@ def test_ivfpq_indexed_plan_scans_cells_only(spark, tmp_path):
     assert pi.count_broadcast_joins(out) >= 1
     assert plan.count("embeddings.parquet") == 1
     assert "/cells" in plan
+
+
+def test_bm25_indexed_plan_reads_postings_only(spark, tmp_path):
+    """Indexed BM25: the scan is the postings table with the term
+    IN-filter PUSHED to parquet (PushedFilters carries the In(term)),
+    and the documents parquet is never read."""
+    from chapterbridge_ocr_worker_spark.operators.search import (
+        bm25_query_index,
+        build_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "inv")
+    build_inverted_index(docs, idx)
+    out = bm25_query_index(spark, idx, ["hash", "join"], k=5)
+    plan = pi.formatted(out)
+    assert "documents.parquet" not in plan
+    assert "/postings" in plan
+    assert "PushedFilters" in plan and "In(term" in plan
