@@ -4069,11 +4069,14 @@ _REGISTRY_ORDER = [
     "dedup_exact_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    # text analysis
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_ngram5_distinct",
+    # fifth round-5 rotation: search + composed-ANN + UniMax families
+    # (text_token_count_bpe, text_quality, text_lang_id,
+    # text_ngram5_distinct evicted to overflow — driver-green r01-r04,
+    # re-verified; see BENCH.md)
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "emb_ivfpq_topk",
+    "curate_unimax_sample",
     # streaming
     "stream_dedup_exact",
     "stream_hourly_agg",
@@ -4169,10 +4172,13 @@ _REGISTRY_ORDER = [
     "curate_train_val_split",
     "table_pruned_range",
     "curate_chunk_windows",
-    "curate_unimax_sample",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
     "search_bm25_indexed",
+    # evicted in the round-5 fifth rotation (driver rows green r01-r04;
+    # local oracle re-verification recorded in BENCH.md)
+    "text_token_count_bpe",
+    "text_quality",
+    "text_lang_id",
+    "text_ngram5_distinct",
 ]
 
 

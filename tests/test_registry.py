@@ -39,10 +39,10 @@ DRIVER_WINDOW = [
     "dedup_exact_incremental",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "text_token_count_bpe",
-    "text_quality",
-    "text_lang_id",
-    "text_ngram5_distinct",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "emb_ivfpq_topk",
+    "curate_unimax_sample",
     "stream_dedup_exact",
     "stream_hourly_agg",
     "stream_hourly_append",
