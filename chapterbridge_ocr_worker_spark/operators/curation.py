@@ -710,3 +710,181 @@ def unimax_sample(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023)
+# --------------------------------------------------------------------------
+# Select raw-corpus documents that look like a small trusted target corpus
+# by importance weighting under two bag-of-hashed-ngram unigram models.
+# This is the principled upgrade of the classifier gate in
+# textstats.quality_classifier_score: instead of hand-set weights, the
+# per-feature evidence is ESTIMATED from data (target vs raw counts), and
+# the per-doc score is an exact log-likelihood ratio under the two models.
+# Reference anchor: extends the corpus-side curation surface SURVEY.md §6
+# commits to (the reference's scope ends at per-document OCR output,
+# workers/ocr/pipeline.py).
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_features(text: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-bigram feature indices of a document, duplicates KEPT —
+    occurrence counts are the sufficient statistic of the bag-of-bigrams
+    model (array_distinct here would silently change the estimator).
+    portable_token_hash keeps bucket assignment engine-portable, exactly
+    like the MinHash family."""
+    from .dedup import portable_token_hash
+
+    return F.transform(
+        ngrams_tokens(text, 2),
+        lambda g: F.pmod(portable_token_hash(g), F.lit(n_buckets)),
+    )
+
+
+def dsir_bucket_stats(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """``(bucket, c_raw, c_target)`` hashed-bigram occurrence counts on
+    each side of the split.
+
+    Scale shape: tag-union the two sides and aggregate ONCE — a full-outer
+    join of the per-side counts would be a SortMergeJoin (Spark cannot
+    broadcast full-outer), so the union+conditional-sum shape is strictly
+    better: one groupBy on a key with at most n_buckets distinct values,
+    whose partial (map-side) aggregation collapses every task's output to
+    <= n_buckets rows before the exchange — the shuffle moves
+    O(tasks * n_buckets) tiny rows no matter how many documents flow in.
+    The result is <= n_buckets rows: always broadcastable, and the natural
+    thing to materialize next to a corpus snapshot (same play as the
+    MinHash signature tables)."""
+
+    def side(df: DataFrame, is_raw: int) -> DataFrame:
+        return df.select(
+            F.explode(dsir_features(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+            F.lit(is_raw).alias("is_raw"),
+        )
+
+    return (
+        side(raw, 1)
+        .unionAll(side(target, 0))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_raw").alias("c_raw"),
+            F.sum(1 - F.col("is_raw")).alias("c_target"),
+        )
+    )
+
+
+def _dsir_joined(corpus, stats, text_col, id_col, n_buckets):
+    """explode_outer features -> broadcast-join the bucket stats + totals.
+
+    explode_outer (not explode) so zero-bigram documents keep a row and
+    surface with n_features = 0 instead of vanishing from the gate's
+    output. The totals crossJoin is a 1-row broadcast, not a driver
+    round-trip, so the whole score stays one lazy plan."""
+    totals = stats.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_target").alias("n_target")
+    )
+    feats = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(dsir_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    return feats.join(F.broadcast(stats), "bucket", "left").crossJoin(
+        F.broadcast(totals)
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weight ``ln p_target(doc)/p_raw(doc)``
+    under add-1-smoothed hashed-bigram unigram models:
+
+        weight = sum_i [ln(c_t[b_i]+1) - ln(c_r[b_i]+1)]
+                 + n_features * [ln(N_r + B) - ln(N_t + B)]
+
+    (the normalizer difference factors out per occurrence because both
+    models share the feature space). Returns (doc_id, n_features, weight)
+    with weight rounded to 4 decimals — the float weight is the REPORTING
+    surface; the bit-exact selection decision lives in dsir_select, which
+    never touches a float. Only corpus-sized exchange: the per-doc sum on
+    doc_id (AQE-coalescible); the stats join is broadcast."""
+    j = _dsir_joined(corpus, stats, text_col, id_col, n_buckets)
+    lr = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+        F.log(F.coalesce(F.col("c_target"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(1.0))
+    )
+    nf = F.when(F.col("bucket").isNull(), 0).otherwise(1)
+    # n_raw/n_target are 1-row-broadcast constants; grouping on them keeps
+    # them visible after the agg without a second join
+    per_doc = j.groupBy("doc_id", "n_raw", "n_target").agg(
+        F.sum(lr).alias("s"), F.sum(nf).alias("n_features")
+    )
+    b = float(n_buckets)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        F.round(
+            F.col("s")
+            + F.col("n_features")
+            * (F.log(F.col("n_raw") + F.lit(b)) - F.log(F.col("n_target") + F.lit(b))),
+            4,
+        ).alias("weight"),
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Sign-quantized DSIR gate — the SELECTION decision, bit-exact across
+    engines: each feature occurrence votes +1 iff its smoothed target
+    probability exceeds its raw one, decided by integer cross-
+    multiplication
+
+        (c_t + 1) * (N_r + B)  >  (c_r + 1) * (N_t + B)
+
+    (no logs, no floats — a 1-bit quantization of the dsir_weights
+    log-ratio, same move as the integer thresholds in train_val_split),
+    and a document is selected iff its net vote is positive. Products run
+    in decimal(38,0) (HUGEINT on the DuckDB twin) so a 10^12-occurrence
+    corpus cannot overflow int64 at a decision boundary. Returns
+    (doc_id, votes, selected)."""
+    j = _dsir_joined(corpus, stats, text_col, id_col, n_buckets)
+    dec = "decimal(38,0)"
+    lhs = (F.coalesce(F.col("c_target"), F.lit(0)) + 1).cast(dec) * (
+        F.col("n_raw") + F.lit(n_buckets)
+    ).cast(dec)
+    rhs = (F.coalesce(F.col("c_raw"), F.lit(0)) + 1).cast(dec) * (
+        F.col("n_target") + F.lit(n_buckets)
+    ).cast(dec)
+    vote = (
+        F.when(F.col("bucket").isNull(), 0)
+        .when(lhs > rhs, 1)
+        .when(lhs < rhs, -1)
+        .otherwise(0)
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum(vote).alias("votes"))
+        .select(
+            "doc_id",
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("votes") > 0).cast("int").alias("selected"),
+        )
+    )

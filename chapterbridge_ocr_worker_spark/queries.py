@@ -4026,6 +4026,98 @@ def curate_shard_pack_q(spark, sf_dir):
     return shard_pack(t(spark, sf_dir, "documents"), budget=2000, n_buckets=16)
 
 
+def _dsir_cte_sql() -> str:
+    """CTE chain shared by the DSIR twins: documents -> bigrams -> hashed
+    feature buckets -> per-bucket raw/target counts (+ totals), mirroring
+    curation.dsir_features / dsir_bucket_stats constant-for-constant
+    (target slice = doc_id % 89 = 0, the decontam-style in-table split)."""
+    return f"""
+    WITH toks AS ({_TK_CTE}),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN []
+                  ELSE list_transform(range(1, len(tk)),
+                      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+             END AS gs
+      FROM toks
+    ),
+    f AS (
+      SELECT doc_id, unnest(list_transform(gs, g -> {_phash_sql("g")} % 1024))
+               AS bucket
+      FROM bg
+    ),
+    st AS (
+      SELECT bucket,
+             SUM(CASE WHEN doc_id % 89 != 0 THEN 1 ELSE 0 END) AS c_raw,
+             SUM(CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END) AS c_target
+      FROM f GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_target) AS n_target FROM st),
+    pf AS (SELECT doc_id, bucket FROM f WHERE doc_id % 89 != 0),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 89 != 0)
+    """
+
+
+@q(
+    "dsir_weights",
+    _dsir_cte_sql()
+    + """
+    , contrib AS (
+      SELECT doc_id,
+             SUM(ln(c_target + 1.0) - ln(c_raw + 1.0)) AS s,
+             COUNT(*) AS n_features
+      FROM pf JOIN st USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_features, 0) AS BIGINT) AS n_features,
+           ROUND(COALESCE(c.s, 0.0)
+                 + COALESCE(c.n_features, 0)
+                   * (ln(n_raw + 1024.0) - ln(n_target + 1024.0)), 4) AS weight
+    FROM docs d LEFT JOIN contrib c USING (doc_id) CROSS JOIN tot
+    """,
+    "DSIR importance weights: per-doc log-likelihood ratio of target vs "
+    "raw hashed-bigram models (Xie et al. 2023)",
+)
+def dsir_weights_q(spark, sf_dir):
+    from .operators.curation import dsir_bucket_stats, dsir_weights
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.filter("doc_id % 89 != 0")
+    stats = dsir_bucket_stats(raw, d.filter("doc_id % 89 = 0"))
+    return dsir_weights(raw, stats)
+
+
+@q(
+    "dsir_sample",
+    _dsir_cte_sql()
+    + """
+    , v AS (
+      SELECT doc_id,
+             SUM(CASE
+               WHEN CAST(c_target + 1 AS HUGEINT) * (n_raw + 1024)
+                    > CAST(c_raw + 1 AS HUGEINT) * (n_target + 1024) THEN 1
+               WHEN CAST(c_target + 1 AS HUGEINT) * (n_raw + 1024)
+                    < CAST(c_raw + 1 AS HUGEINT) * (n_target + 1024) THEN -1
+               ELSE 0 END) AS votes
+      FROM pf JOIN st USING (bucket) CROSS JOIN tot GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(v.votes, 0) AS BIGINT) AS votes,
+           CAST(COALESCE(v.votes, 0) > 0 AS INT) AS selected
+    FROM docs d LEFT JOIN v USING (doc_id)
+    """,
+    "DSIR selection gate: sign-quantized integer votes, bit-exact "
+    "resampling decision (no floats at the boundary)",
+)
+def dsir_sample_q(spark, sf_dir):
+    from .operators.curation import dsir_bucket_stats, dsir_select
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.filter("doc_id % 89 != 0")
+    stats = dsir_bucket_stats(raw, d.filter("doc_id % 89 = 0"))
+    return dsir_select(raw, stats)
+
+
 # ---------------------------------------------------------------------------
 # Registry order
 # ---------------------------------------------------------------------------
@@ -4179,6 +4271,10 @@ _REGISTRY_ORDER = [
     "text_quality",
     "text_lang_id",
     "text_ngram5_distinct",
+    # DSIR importance resampling (round 5, late) — overflow; verified by
+    # tools/oracle_check.py
+    "dsir_weights",
+    "dsir_sample",
 ]
 
 

@@ -406,3 +406,87 @@ def test_unimax_waterfill_caps_and_redistributes(spark):
     assert abs(got_big - 280) < 60  # hash-uniform fractional epoch
     again = sorted(tuple(r) for r in unimax_sample(df, 1, 2, max_epochs=2).collect())
     assert again == sorted(tuple(r) for r in out)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+
+def _py_dsir_buckets(text: str, n_buckets: int = 1024) -> list[int]:
+    """Independent pure-Python reference of dsir_features: whitespace
+    bigrams -> portable poly hash mod 2^31-1 -> mod n_buckets."""
+    toks = text.split()
+    out = []
+    for i in range(len(toks) - 1):
+        g = toks[i] + " " + toks[i + 1]
+        acc = 0
+        for ch in g:
+            acc = (acc * 31 + ord(ch)) % (2**31 - 1)
+        out.append(acc % n_buckets)
+    return out
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        dsir_bucket_stats,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "spam ham spam ham spam ham"), (101, "spam ham eggs spam ham")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham"),          # target-like -> selected
+            (2, "cat dog bird fish tree"),     # raw-only features -> rejected
+            (3, ""),                           # zero bigrams -> votes 0, not selected
+        ],
+        ["doc_id", "text"],
+    )
+    stats = dsir_bucket_stats(raw, target)
+    rows = {r["doc_id"]: r for r in dsir_select(raw, stats).collect()}
+    assert rows[1]["selected"] == 1 and rows[1]["votes"] > 0
+    assert rows[2]["selected"] == 0 and rows[2]["votes"] < 0
+    assert rows[3]["selected"] == 0 and rows[3]["votes"] == 0
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """The float log-ratio weight agrees with an independent pure-Python
+    computation of the same estimator (hash, smoothing, normalizers)."""
+    import math
+    from collections import Counter
+
+    from chapterbridge_ocr_worker_spark.operators.curation import (
+        dsir_bucket_stats,
+        dsir_weights,
+    )
+
+    target_docs = {100: "alpha beta alpha beta gamma", 101: "alpha beta delta"}
+    raw_docs = {
+        1: "alpha beta alpha",
+        2: "epsilon zeta eta theta",
+        3: "solo",  # one token -> zero bigrams
+    }
+    c_raw = Counter(b for s in raw_docs.values() for b in _py_dsir_buckets(s))
+    c_tgt = Counter(b for s in target_docs.values() for b in _py_dsir_buckets(s))
+    n_raw, n_tgt = sum(c_raw.values()), sum(c_tgt.values())
+    expected = {}
+    for did, s in raw_docs.items():
+        feats = _py_dsir_buckets(s)
+        w = sum(
+            math.log(c_tgt.get(b, 0) + 1.0) - math.log(c_raw.get(b, 0) + 1.0)
+            for b in feats
+        ) + len(feats) * (math.log(n_raw + 1024.0) - math.log(n_tgt + 1024.0))
+        expected[did] = (len(feats), round(w, 4))
+
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()], ["doc_id", "text"]
+    )
+    stats = dsir_bucket_stats(mk(raw_docs), mk(target_docs))
+    got = {
+        r["doc_id"]: (r["n_features"], r["weight"])
+        for r in dsir_weights(mk(raw_docs), stats).collect()
+    }
+    assert got == expected

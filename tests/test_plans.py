@@ -495,3 +495,16 @@ def test_bm25_indexed_plan_reads_postings_only(spark, tmp_path):
     assert "documents.parquet" not in plan
     assert "/postings" in plan
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_dsir_stats_join_is_broadcast(spark):
+    """dsir_weights / dsir_select: the <=1024-row bucket-stats table (and
+    the 1-row totals) reach the corpus side as broadcasts — the only
+    corpus-sized exchange is the per-doc vote/weight aggregation. A
+    SortMergeJoin here would shuffle the full exploded feature stream at
+    100 TB."""
+    for name in ("dsir_weights", "dsir_sample"):
+        df = QUERIES[name].fn(spark, SF)
+        plan = pi.formatted(df)
+        assert pi.count_broadcast_joins(df) >= 1, name
+        assert "SortMergeJoin" not in plan, name
