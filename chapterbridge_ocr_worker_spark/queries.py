@@ -2048,6 +2048,87 @@ def emb_ivf_q(spark, sf_dir):
     )
 
 
+def _kmeans_cte_sql(iters: int = 2, n_centroids: int = 16) -> str:
+    """DuckDB twin of similarity.kmeans_refine with the iterations
+    UNROLLED into CTEs (assign -> per-cell rounded mean -> empty-cell
+    fallback, per iteration), mirroring the operator's 4dp-assignment /
+    6dp-update rounding discipline constant-for-constant."""
+    cos = _COS_SQL.format(a="v", b="cc")
+    parts = [
+        f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id * 2654435761) % 2147483647 AS h
+      FROM embeddings
+    ),
+    cl0 AS (
+      SELECT list(v ORDER BY h, vec_id) AS cents
+      FROM (SELECT v, h, vec_id FROM c ORDER BY h, vec_id LIMIT {n_centroids})
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cl{it - 1}"
+        parts.append(
+            f""",
+    a{it} AS (
+      SELECT vec_id, v, list_position(s, list_max(s)) AS bucket
+      FROM (SELECT vec_id, v,
+              list_transform((SELECT cents FROM {prev}), cc -> ROUND({cos}, 4)) AS s
+            FROM c)
+    ),
+    m{it} AS (
+      SELECT bucket, u.pos AS pos, ROUND(AVG(u.val), 6) AS m
+      FROM (SELECT bucket,
+              unnest(list_transform(generate_series(1, len(v)),
+                     i -> {{'pos': i, 'val': v[i]}})) AS u
+            FROM a{it})
+      GROUP BY bucket, pos
+    ),
+    mv{it} AS (
+      SELECT bucket, list(m ORDER BY pos) AS mvec FROM m{it} GROUP BY bucket
+    ),
+    cl{it} AS (
+      SELECT list(COALESCE(mv{it}.mvec, (SELECT cents FROM {prev})[i])
+                  ORDER BY i) AS cents
+      FROM generate_series(1, {n_centroids}) g(i)
+           LEFT JOIN mv{it} ON mv{it}.bucket = i
+    )"""
+        )
+    parts.append(
+        f""",
+    final AS (
+      SELECT vec_id, CAST(list_position(s, list_max(s)) AS BIGINT) AS bucket
+      FROM (SELECT vec_id,
+              list_transform((SELECT cents FROM cl{iters}), cc -> ROUND({cos}, 4)) AS s
+            FROM c)
+    )"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "emb_kmeans_assign",
+    _kmeans_cte_sql(iters=2, n_centroids=16)
+    + "SELECT vec_id, bucket FROM final",
+    "distributed Lloyd k-means (2 iterations, spherical/cosine) refining "
+    "the sampled IVF centroids; full corpus cell assignment recomputed "
+    "bit-exactly by the unrolled SQL twin",
+)
+def emb_kmeans_q(spark, sf_dir):
+    from .operators.similarity import (
+        _assign_cells,
+        _centroid_literal,
+        kmeans_refine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_refine(emb, n_centroids=16, iters=2)
+    assigned = _assign_cells(emb, _centroid_literal(cents), "vec_id", "embedding")
+    return assigned.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("bucket").cast("long").alias("bucket")
+    )
+
+
 def ensure_ivf_index(spark, sf_dir) -> str:
     """Build-once materialized IVF index for the indexed ANN query, keyed
     to the embeddings table's identity (build cost belongs to the indexing
@@ -4275,6 +4356,9 @@ _REGISTRY_ORDER = [
     # tools/oracle_check.py
     "dsir_weights",
     "dsir_sample",
+    # distributed k-means (round 5, late) — overflow; verified by
+    # tools/oracle_check.py
+    "emb_kmeans_assign",
 ]
 
 

@@ -1397,3 +1397,49 @@ def test_bm25_indexed_equals_inline(spark, tmp_path):
     inline = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
     indexed = [tuple(r) for r in bm25_query_index(spark, idx, terms, k=10).collect()]
     assert indexed == inline and len(inline) == 4  # doc 4 absent
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Two tight planted clusters: after Lloyd iterations every cluster-A
+    vector shares one cell and every cluster-B vector the other — the
+    refinement converges to the planted partition and holds it (an
+    idempotence-of-converged-state check, since iteration 3 must not
+    move a centroid that already sits on its cluster mean)."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import (
+        _assign_cells,
+        _centroid_literal,
+        kmeans_refine,
+    )
+
+    rows = []
+    # cluster A near (1, 0, 0), cluster B near (0, 1, 0); ids interleaved
+    for i in range(10):
+        rows.append((i * 2, [10.0 + (i % 3) * 0.1, 0.1 * (i % 2), 0.0]))
+        rows.append((i * 2 + 1, [0.1 * (i % 2), 10.0 + (i % 3) * 0.1, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    cents = kmeans_refine(emb, n_centroids=2, iters=3)
+    assigned = {
+        r["neighbor_id"]: r["bucket"]
+        for r in _assign_cells(
+            emb, _centroid_literal(cents), "vec_id", "embedding"
+        ).collect()
+    }
+    a_cells = {assigned[i] for i in assigned if i % 2 == 0}
+    b_cells = {assigned[i] for i in assigned if i % 2 == 1}
+    assert len(a_cells) == 1 and len(b_cells) == 1 and a_cells != b_cells
+
+
+def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that attracts no vectors must survive the update
+    unchanged (Lloyd convention), not crash or collapse to nulls."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import kmeans_refine
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = kmeans_refine(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4
+    assert all(len(c) == 2 and all(x is not None for x in c) for c in cents)

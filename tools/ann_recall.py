@@ -87,6 +87,12 @@ def main() -> int:
     out["ivf_np4_vs_cos"] = recall_at_k(
         exact, ivf_topk(emb, qs, k=k, n_centroids=16, nprobe=4).collect()
     )
+    from chapterbridge_ocr_worker_spark.operators.similarity import ivf_topk_kmeans
+
+    out["ivf_kmeans2_np4_vs_cos"] = recall_at_k(
+        exact,
+        ivf_topk_kmeans(emb, qs, k=k, n_centroids=16, nprobe=4, iters=2).collect(),
+    )
     pq_rows = pq_topk(emb, qs, k=k).collect()
     out["pq_vs_l2"] = recall_at_k(exact_l2, pq_rows)
     out["pq_vs_cos"] = recall_at_k(exact, pq_rows)
