@@ -2274,6 +2274,51 @@ def table_pruned_range_q(spark, sf_dir):
     return read_table_pruned(spark, root, "docs", "doc_id", 120, 260)
 
 
+def ensure_zordered_events(spark, sf_dir) -> str:
+    """Build-once Z-order-clustered copy of the events table ((event_id,
+    user_id) z-curve, 16 files, per-file min/max stats) — the layout a
+    100-TB event store rewrites into for multi-dimensional slicing.
+    Staging + rename commit, keyed to source identity (same contract as
+    ensure_ivf_index)."""
+    import os
+    import shutil
+    import uuid
+
+    from .sources.tables import write_table_zordered
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/zevents_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    if not os.path.isdir(os.path.join(base, "events")):
+        staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
+        ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        write_table_zordered(
+            ev, staging, "events", ["event_id", "user_id"], n_partitions=16
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return base
+
+
+@q(
+    "table_zorder_box",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id BETWEEN 150 AND 399 AND user_id BETWEEN 3 AND 7",
+    "Z-order clustered layout + per-file stats as a query: a 2-D box "
+    "predicate against the z-curve-written events table opens only the "
+    "files whose (event_id, user_id) rectangle intersects the box "
+    "(read_table_pruned_box); the twin is the plain conjunction filter "
+    "it must equal",
+)
+def table_zorder_box_q(spark, sf_dir):
+    from .sources.tables import read_table_pruned_box
+
+    root = ensure_zordered_events(spark, sf_dir)
+    return read_table_pruned_box(
+        spark, root, "events", {"event_id": (150, 399), "user_id": (3, 7)}
+    ).select("event_id", "user_id", "event_type")
+
+
 def ensure_pq_index(spark, sf_dir) -> str:
     """Build-once materialized PQ index keyed to the embeddings table's
     identity (same contract as ensure_ivf_index: the encode pass belongs
@@ -4359,6 +4404,9 @@ _REGISTRY_ORDER = [
     # distributed k-means (round 5, late) — overflow; verified by
     # tools/oracle_check.py
     "emb_kmeans_assign",
+    # Z-order layout + per-file stats (round 5, late) — overflow; verified
+    # by tools/oracle_check.py
+    "table_zorder_box",
 ]
 
 

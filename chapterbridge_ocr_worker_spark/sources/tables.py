@@ -161,7 +161,11 @@ def _json_safe_stat(v):
 
 
 def append_snapshot(
-    df: DataFrame, root: str, name: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    name: str,
+    stats_cols: list[str] | None = None,
+    file_stats_cols: list[str] | None = None,
 ) -> str:
     """Append as a new immutable snapshot directory (atomic-commit stand-in
     for Iceberg's append). Readers union LIVE snapshots via read_table.
@@ -177,7 +181,15 @@ def append_snapshot(
     are aggregated from the just-written parquet — a footer-stats-backed
     scan of only those columns — and let read_table_pruned skip whole
     snapshot directories whose range cannot match a predicate. A snapshot
-    appended WITHOUT stats is simply never skipped (conservative)."""
+    appended WITHOUT stats is simply never skipped (conservative).
+
+    ``file_stats_cols``: additionally record per-PARQUET-FILE min/max of
+    these columns (the Iceberg data-file-stats analogue, one level below
+    the snapshot stats). This is what makes a clustered layout pay off:
+    after write_table_zordered, a 2-D box predicate prunes most FILES of
+    a surviving snapshot, not just whole snapshots. Computed in the same
+    footer-backed pass, grouped by input_file_name; keyed by basename so
+    the inflight->snap directory rename keeps them valid."""
     snap_name = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
     path = table_path(root, name)
     snap = os.path.join(path, snap_name)
@@ -202,6 +214,29 @@ def append_snapshot(
             c: [_json_safe_stat(row[f"mn_{i}"]), _json_safe_stat(row[f"mx_{i}"])]
             for i, c in enumerate(stats_cols)
         }
+    snap_file_stats = None
+    if file_stats_cols:
+        from pyspark.sql import functions as F
+
+        frows = (
+            df.sparkSession.read.parquet(inflight)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(file_stats_cols)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(file_stats_cols)],
+            )
+            .collect()
+        )
+        snap_file_stats = {
+            os.path.basename(r["f"]): {
+                c: [
+                    _json_safe_stat(r[f"mn_{i}"]),
+                    _json_safe_stat(r[f"mx_{i}"]),
+                ]
+                for i, c in enumerate(file_stats_cols)
+            }
+            for r in frows
+        }
     with _manifest_lock(path):
         m = _read_manifest(path)
         if m is None:  # adopt whatever legacy listing readers were seeing
@@ -220,6 +255,10 @@ def append_snapshot(
             stats_map = dict(extra.get("column_stats", {}))
             stats_map[snap_name] = snap_stats
             extra["column_stats"] = stats_map
+        if snap_file_stats is not None:
+            fstats_map = dict(extra.get("file_stats", {}))
+            fstats_map[snap_name] = snap_file_stats
+            extra["file_stats"] = fstats_map
         os.rename(inflight, snap)  # data becomes visible only with the commit
         _write_manifest(path, live + [snap_name], **extra)
     return snap
@@ -273,53 +312,122 @@ def read_table_pruned(
     filter is still applied to the surviving directories (pruning is a
     file-skipping optimization, never a filter substitute). Snapshots
     without recorded stats for ``col`` are always read (conservative), so
-    mixing stats-less appends in costs correctness nothing."""
+    mixing stats-less appends in costs correctness nothing. Delegates to
+    read_table_pruned_box — snapshots that also carry per-FILE stats are
+    additionally pruned file-by-file."""
+    return read_table_pruned_box(spark, root, name, {col: (lo, hi)}, schema)
+
+
+def _range_disjoint(rng, lo, hi) -> bool:
+    """True iff a recorded [mn, mx] range provably cannot intersect
+    [lo, hi]. Missing/None stats or JSON-degraded incomparable values
+    never prune — a wrong skip loses rows, a kept scan only costs IO."""
+    if rng is None or rng[0] is None or rng[1] is None:
+        return False
+    mn, mx = rng
+    try:
+        return (hi is not None and mn > hi) or (lo is not None and mx < lo)
+    except TypeError:
+        # stats were JSON-degraded to strings (exotic column type) but the
+        # bounds are not comparable to them: never crash a read over a
+        # skip decision — fall back to scanning
+        return False
+
+
+def pruned_selection(path: str, preds: dict) -> dict | None:
+    """Driver-side manifest arithmetic shared by the pruned readers (and
+    inspectable by tests/benchmarks without running a query): which
+    snapshot dirs / parquet files survive a conjunction of range
+    predicates ``{col: (lo, hi)}``. Snapshot-level column_stats prune
+    whole directories; file_stats (when the snapshot recorded them) prune
+    individual files inside surviving directories. Returns
+    ``{paths, dirs_total, files_total, files_kept}`` or None for a
+    manifest-less legacy table."""
+    m = _read_manifest(path)
+    if m is None:
+        return None
+    stats = m.get("column_stats", {})
+    fstats = m.get("file_stats", {})
+    paths: list[str] = []
+    dirs_total = files_total = files_kept = 0
+    for s in m["snapshots"]:
+        d = os.path.join(path, s)
+        if not os.path.isdir(d):
+            continue
+        dirs_total += 1
+        listing = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        files_total += len(listing)
+        srng = stats.get(s, {})
+        if any(
+            _range_disjoint(srng.get(c), lo, hi) for c, (lo, hi) in preds.items()
+        ):
+            continue  # whole snapshot provably disjoint
+        fs = fstats.get(s)
+        if not fs:
+            paths.append(d)
+            files_kept += len(listing)
+            continue
+        for f in listing:
+            frng = fs.get(f, {})
+            if any(
+                _range_disjoint(frng.get(c), lo, hi)
+                for c, (lo, hi) in preds.items()
+            ):
+                continue
+            paths.append(os.path.join(d, f))
+            files_kept += 1
+    return {
+        "paths": paths,
+        "dirs_total": dirs_total,
+        "files_total": files_total,
+        "files_kept": files_kept,
+    }
+
+
+def read_table_pruned_box(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    preds: dict,
+    schema: T.StructType | None = None,
+) -> DataFrame | None:
+    """Read rows matching a conjunction of range predicates
+    ``{col: (lo, hi)}`` (either bound may be None), skipping snapshot
+    directories via manifest column_stats and individual parquet files via
+    file_stats — the multi-dimensional pruning that makes a
+    write_table_zordered layout pay: a 2-D box over a z-clustered table
+    opens only the files whose hyper-rectangle intersects the box.
+    Row-level filters are always applied to whatever survives."""
     from pyspark.sql import functions as F
 
     path = table_path(root, name)
     if not os.path.isdir(path):
         return None
-    m = _read_manifest(path)
 
     def _pred():
-        return (F.col(col) >= F.lit(lo) if lo is not None else F.lit(True)) & (
-            F.col(col) <= F.lit(hi) if hi is not None else F.lit(True)
-        )
+        out = F.lit(True)
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                out = out & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out & (F.col(c) <= F.lit(hi))
+        return out
 
-    if m is None:  # legacy table: no stats anywhere, plain filtered read
+    sel = pruned_selection(path, preds)
+    if sel is None:  # legacy table: no stats anywhere, plain filtered read
         full = read_table(spark, root, name, schema)
         return None if full is None else full.filter(_pred())
-    stats = m.get("column_stats", {})
-    keep, dirs = [], []
-    for s in m["snapshots"]:
-        d = os.path.join(path, s)
-        if not os.path.isdir(d):
-            continue
-        dirs.append(d)
-        rng = stats.get(s, {}).get(col)
-        if rng is None or rng[0] is None or rng[1] is None:
-            keep.append(d)  # no stats -> cannot skip
-            continue
-        mn, mx = rng
-        try:
-            disjoint = (hi is not None and mn > hi) or (
-                lo is not None and mx < lo
-            )
-        except TypeError:
-            # stats were JSON-degraded to strings (exotic column type) but
-            # the bounds are not comparable to them: never crash a read
-            # over a skip decision — fall back to scanning the snapshot
-            disjoint = False
-        if disjoint:
-            continue  # provably disjoint: skip the whole directory
-        keep.append(d)
-    if not dirs:
+    if sel["dirs_total"] == 0:
         return None
-    if not keep:  # every snapshot pruned: empty result, schema preserved
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(dirs[0]).limit(0).filter(_pred())
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    return reader.parquet(*keep).filter(_pred())
+    if not sel["paths"]:  # everything pruned: empty result, schema preserved
+        live = _live_snapshots(path) or []
+        first = next(
+            (os.path.join(path, d) for d in live if os.path.isdir(os.path.join(path, d))),
+            None,
+        )
+        return reader.parquet(first).limit(0).filter(_pred())
+    return reader.parquet(*sel["paths"]).filter(_pred())
 
 
 def _snap_millis(snap_name: str) -> int | None:
@@ -596,6 +704,76 @@ def compact_table(
         "snapshots_before": len(old_snaps),
         "legacy_files_adopted": legacy_adopted,
     }
+
+
+def zorder_key(cols: list, ranges: list, bits: int = 4):
+    """Bit-interleaved Z-curve value of numeric columns: each column is
+    linearly quantized to 2^bits levels over its [mn, mx] range, then the
+    quantized values' bits are interleaved (col0 gets bit positions
+    0, k, 2k, ...). Nearby z-values are nearby in EVERY dimension, which
+    is the whole trick: range-partitioning on z makes each output file a
+    tight hyper-rectangle in all zcols at once, where a plain sort gives
+    tight ranges in only the leading column. Pure column expressions —
+    no UDF, stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    levels = 1 << bits
+    for ci, (c, (mn, mx)) in enumerate(zip(cols, ranges)):
+        if mn is None or mx is None:
+            raise ValueError(f"zorder_key: column {c} has no min/max (all null?)")
+        col = F.col(c) if isinstance(c, str) else c
+        span = max(int(mx) - int(mn) + 1, 1)
+        q = F.floor(
+            ((col.cast("long") - F.lit(int(mn))) * F.lit(levels)) / F.lit(span)
+        ).cast("long")
+        q = F.least(F.lit(levels - 1), F.greatest(F.lit(0), q))
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * k + ci
+            )
+    return z
+
+
+def write_table_zordered(
+    df: DataFrame,
+    root: str,
+    name: str,
+    zcols: list[str],
+    n_partitions: int = 8,
+    bits: int = 4,
+) -> str:
+    """Append a snapshot Z-ORDER clustered on ``zcols`` with per-file
+    stats — the Iceberg `rewrite_data_files(strategy => 'sort',
+    sort_order => zorder(...))` analogue.
+
+    One footer-backed agg computes the global min/max per zcol (driver
+    round-trip of 2*len(zcols) scalars), every row gets a z-curve key,
+    and repartitionByRange + sortWithinPartitions on that key lays the
+    data out so each parquet file covers a tight hyper-rectangle in ALL
+    zcols. append_snapshot then records snapshot- and file-level min/max,
+    and read_table_pruned_box turns a multi-column box predicate into
+    opening only the few intersecting files. At 100 TB this is the
+    difference between a (user, time)-box query scanning one leading-
+    column stripe (everything in the time range, every user) and scanning
+    ~box-volume worth of bytes."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(zcols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(zcols)],
+    ).collect()[0]
+    ranges = [(row[f"mn_{i}"], row[f"mx_{i}"]) for i in range(len(zcols))]
+    clustered = (
+        df.withColumn("_z", zorder_key(zcols, ranges, bits))
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return append_snapshot(
+        clustered, root, name, stats_cols=zcols, file_stats_cols=zcols
+    )
 
 
 def write_bucketed(

@@ -487,3 +487,80 @@ def test_snapshot_stats_survive_commit_merges_and_compaction(spark, tmp_path):
     tables.compact_table(spark, root, "t")
     after_df = tables.read_table_pruned(spark, root, "t", "doc_id", 0, 49)
     assert sorted(r["doc_id"] for r in after_df.collect()) == before
+
+
+def _grid_df(spark, n=512):
+    """Deterministic 2-D grid: x and y decorrelated so neither is a
+    function of the other (the honest case for multi-dim clustering).
+    y must NOT be an affine function of x — (id*37)%64 would collapse to
+    37x mod 64 within each x class — so it hashes the full id."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).alias("y"),
+    )
+
+
+def test_zorder_box_read_equals_plain_filter(spark, tmp_path):
+    df = _grid_df(spark)
+    root = str(tmp_path / "wh")
+    tables.write_table_zordered(df, root, "grid", ["x", "y"], n_partitions=16)
+    got = tables.read_table_pruned_box(
+        spark, root, "grid", {"x": (10, 20), "y": (30, 50)}
+    )
+    want = df.filter((F.col("x").between(10, 20)) & (F.col("y").between(30, 50)))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
+def test_zorder_prunes_nonleading_dimension(spark, tmp_path):
+    """The layout claim itself: a predicate on y ALONE (the non-leading
+    dimension of a 1-D sort) prunes files under the z-order layout but
+    cannot prune a layout sorted by x — this is what z-ordering buys at
+    100 TB over plain sorting."""
+    df = _grid_df(spark)
+    root = str(tmp_path / "wh")
+    tables.write_table_zordered(df, root, "zgrid", ["x", "y"], n_partitions=16)
+    tables.append_snapshot(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        root,
+        "xgrid",
+        stats_cols=["x", "y"],
+        file_stats_cols=["x", "y"],
+    )
+    preds = {"y": (0, 7)}  # 1/8 of the y range, all of x
+    zsel = tables.pruned_selection(tables.table_path(root, "zgrid"), preds)
+    xsel = tables.pruned_selection(tables.table_path(root, "xgrid"), preds)
+    assert zsel["files_kept"] < zsel["files_total"] / 2
+    assert xsel["files_kept"] == xsel["files_total"]
+    # pruning never changes answers
+    got = tables.read_table_pruned_box(spark, root, "zgrid", preds).count()
+    assert got == df.filter(F.col("y").between(0, 7)).count()
+
+
+def test_box_all_pruned_preserves_schema(spark, tmp_path):
+    df = _grid_df(spark)
+    root = str(tmp_path / "wh")
+    tables.write_table_zordered(df, root, "grid", ["x", "y"], n_partitions=4)
+    got = tables.read_table_pruned_box(
+        spark, root, "grid", {"x": (1000, 2000)}
+    )
+    assert got.count() == 0
+    assert got.columns == ["id", "x", "y"]
+
+
+def test_box_statless_snapshot_is_conservative(spark, tmp_path):
+    """A snapshot appended without file stats mixed into a z-ordered table
+    must always be read (no wrong skips), and the union stays correct."""
+    df = _grid_df(spark)
+    root = str(tmp_path / "wh")
+    tables.write_table_zordered(df, root, "grid", ["x", "y"], n_partitions=4)
+    late = spark.createDataFrame([(9999, 10, 40)], "id: long, x: long, y: long")
+    tables.append_snapshot(late, root, "grid")  # no stats at all
+    got = tables.read_table_pruned_box(
+        spark, root, "grid", {"x": (10, 10), "y": (40, 40)}
+    ).collect()
+    assert 9999 in {r["id"] for r in got}
+    want = df.filter((F.col("x") == 10) & (F.col("y") == 40)).count() + 1
+    assert len(got) == want
