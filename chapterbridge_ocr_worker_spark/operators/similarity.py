@@ -1183,3 +1183,85 @@ def ivfpq_query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means-cluster the corpus,
+    then inside each cluster drop every point that has a cosine >=
+    ``threshold`` neighbor which is FARTHER from the cluster centroid
+    (the paper keeps the low-centroid-similarity representative of each
+    semantic duplicate group, preserving the cluster's outer "diverse"
+    shell and shedding its redundant core).
+
+    Removal is a pure EXISTS, not a greedy sweep: point d is removed iff
+    some same-cluster o has ROUND(cos(d,o),4) >= threshold and
+    (cent_sim(o), o.id) < (cent_sim(d), d.id) lexicographically. That
+    makes the decision order-free (deterministic under any partitioning)
+    and exactly expressible in SQL for the DuckDB twin. Both the pairwise
+    cosine and the centroid similarity go through the same ROUND(.,4)
+    discipline as _cell_scores, so assignments AND keep decisions are
+    bit-reproducible across engines.
+
+    Scale shape (the paper runs this at LAION-440M): clustering is
+    kmeans_refine (narrow assign pass + map-side-combined mean per
+    iteration); the quadratic step is confined WITHIN clusters — one
+    self-join shuffled on ``bucket``, |cell|^2 pairs per cell,
+    embarrassingly parallel across cells. At 100 TB you pick n_centroids
+    ~ corpus/1k so each cell's pair block stays bounded (SemDeDup uses
+    50k clusters for LAION); a skewed mega-cell is capped by raising k,
+    never by sampling, because a dropped pair is a silently-kept
+    duplicate.
+
+    Returns (id_col, bucket, cent_sim, keep) — one row per input vector,
+    keep=false marking semantic duplicates to shed.
+    """
+    cents = kmeans_refine(
+        corpus, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cent_arr = _centroid_literal(cents)
+    base = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("sc", _cell_scores(cent_arr, F.col("v")))
+        .withColumn("bucket", F.array_position(F.col("sc"), F.array_max("sc")))
+        .withColumn(
+            "cent_sim", F.element_at(F.col("sc"), F.col("bucket").cast("int"))
+        )
+        .drop("sc")
+    )
+    other = base.select(
+        F.col("id").alias("oid"),
+        F.col("bucket"),
+        F.col("v").alias("ov"),
+        F.col("cent_sim").alias("ocent"),
+    )
+    removed = (
+        base.join(other, "bucket")
+        .filter(
+            (F.col("oid") != F.col("id"))
+            & (F.round(cosine(F.col("v"), F.col("ov")), 4) >= F.lit(threshold))
+            & (
+                (F.col("ocent") < F.col("cent_sim"))
+                | ((F.col("ocent") == F.col("cent_sim")) & (F.col("oid") < F.col("id")))
+            )
+        )
+        .select("id")
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        base.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cent_sim"),
+            F.col("dup").isNull().alias("keep"),
+        )
+    )

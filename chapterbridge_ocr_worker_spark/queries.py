@@ -2048,18 +2048,22 @@ def emb_ivf_q(spark, sf_dir):
     )
 
 
-def _kmeans_cte_sql(iters: int = 2, n_centroids: int = 16) -> str:
+def _kmeans_cte_sql(
+    iters: int = 2, n_centroids: int = 16, source: str = "embeddings"
+) -> str:
     """DuckDB twin of similarity.kmeans_refine with the iterations
     UNROLLED into CTEs (assign -> per-cell rounded mean -> empty-cell
     fallback, per iteration), mirroring the operator's 4dp-assignment /
-    6dp-update rounding discipline constant-for-constant."""
+    6dp-update rounding discipline constant-for-constant. ``source`` is
+    any relation exposing (vec_id, embedding) — a parenthesized subquery
+    lets a caller cluster a planted-clone union instead of the raw table."""
     cos = _COS_SQL.format(a="v", b="cc")
     parts = [
         f"""
     WITH c AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (vec_id * 2654435761) % 2147483647 AS h
-      FROM embeddings
+      FROM {source}
     ),
     cl0 AS (
       SELECT list(v ORDER BY h, vec_id) AS cents
@@ -2126,6 +2130,53 @@ def emb_kmeans_q(spark, sf_dir):
     assigned = _assign_cells(emb, _centroid_literal(cents), "vec_id", "embedding")
     return assigned.select(
         F.col("neighbor_id").alias("vec_id"), F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+_SEMDEDUP_SRC = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0)"
+)
+
+
+@q(
+    "emb_semdedup",
+    _kmeans_cte_sql(iters=2, n_centroids=16, source=_SEMDEDUP_SRC)
+    + f""",
+    asgn AS (
+      SELECT f.vec_id, f.bucket, c.v,
+             ROUND({_COS_SQL.format(a="c.v", b="(SELECT cents FROM cl2)[f.bucket]")}, 4)
+               AS cent_sim
+      FROM final f JOIN c ON c.vec_id = f.vec_id
+    )
+    SELECT a.vec_id, a.bucket, a.cent_sim,
+           NOT EXISTS (
+             SELECT 1 FROM asgn o
+             WHERE o.bucket = a.bucket AND o.vec_id <> a.vec_id
+               AND ROUND({_COS_SQL.format(a="a.v", b="o.v")}, 4) >= 0.97
+               AND (o.cent_sim < a.cent_sim
+                    OR (o.cent_sim = a.cent_sim AND o.vec_id < a.vec_id))
+           ) AS keep
+    FROM asgn a
+    """,
+    "SemDeDup (arXiv:2303.09540): k-means cluster the embedding corpus, "
+    "then shed every point with a >=0.97-cosine same-cluster neighbor "
+    "nearer the centroid (order-free EXISTS rule, 4dp rounding both "
+    "engines). The sf embeddings are near-random (max within-cluster "
+    "cosine ~0.51), so clones of every 50th vector are PLANTED "
+    "(vec_id+1e6, same fixture as emb_cosine_neardup) — the operator must "
+    "keep each original and drop its clone",
+)
+def emb_semdedup_q(spark, sf_dir):
+    from .operators.similarity import semdedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semdedup(
+        emb.unionByName(planted), n_centroids=16, iters=2, threshold=0.97
     )
 
 
@@ -4407,6 +4458,9 @@ _REGISTRY_ORDER = [
     # Z-order layout + per-file stats (round 5, late) — overflow; verified
     # by tools/oracle_check.py
     "table_zorder_box",
+    # SemDeDup semantic dedup (round 5, late) — overflow; verified by
+    # tools/oracle_check.py
+    "emb_semdedup",
 ]
 
 

@@ -1443,3 +1443,40 @@ def test_kmeans_refine_empty_cell_keeps_previous_centroid(spark):
     cents = kmeans_refine(emb, n_centroids=4, iters=2)
     assert len(cents) == 4
     assert all(len(c) == 2 and all(x is not None for x in c) for c in cents)
+
+
+def test_semdedup_drops_clone_keeps_outer_representative(spark):
+    """SemDeDup semantics on a planted fixture: two tight semantic-dup
+    groups inside one cluster plus a lone diverse point. In each dup
+    group the survivor must be the member FARTHEST from the centroid
+    (the paper keeps the low-centroid-similarity representative); exact
+    clones tie on cent_sim and break by lower id. The diverse point and
+    the other cluster are untouched."""
+    from chapterbridge_ocr_worker_spark.operators.similarity import semdedup
+
+    import math
+
+    def ang(deg):  # unit vector in the x-y plane at `deg` from +x
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0]
+
+    rows = [
+        # cluster X: dup group {0, 1, 2} — clones 0/1 at 0 deg, 2 at 8 deg
+        # (cos 8 = 0.990 >= 0.97); 4 = diverse member at 45 deg (cos 37 =
+        # 0.80 to its nearest groupmate, below threshold)
+        (0, ang(0.0)),
+        (1, ang(0.0)),
+        (2, ang(8.0)),
+        (4, ang(45.0)),
+        # cluster Z around +z: 31 deg apart (cos = 0.857, no dup pair)
+        (5, [0.0, 0.0, 1.0]),
+        (6, [0.0, 0.6, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"]: r for r in semdedup(emb, n_centroids=2, iters=3).collect()}
+    assert len(out) == 6  # one row per input, none lost
+    keep = {i for i, r in out.items() if r["keep"]}
+    # the X centroid sits ~13 deg (pulled by the 45-deg member), so 2 is
+    # the group's centroid-nearest point and must be shed; the clones tie
+    # on cent_sim and break by lower id
+    assert out[0]["cent_sim"] < out[2]["cent_sim"]
+    assert keep == {0, 4, 5, 6}
