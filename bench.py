@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "search_bm25_indexed",
     "table_zorder_box",
     "emb_semdedup",
+    "dedup_substring_spans",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

@@ -994,3 +994,86 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better") with the
+    paper's single-node suffix array replaced by its distributed
+    equivalence: any substring of >= ``window`` tokens shared across
+    >= ``min_docs`` documents is exactly a RUN of duplicated fixed-width
+    token windows, so hashing every window, keeping hashes seen in
+    min_docs+ distinct documents, and merging each document's surviving
+    window positions into maximal intervals yields the per-doc duplicated
+    spans ``(doc_id, span_start, span_end, n_windows)`` in token
+    coordinates (end exclusive; overlapping or touching windows merge).
+
+    Scale shape: the window explode is |corpus tokens| narrow rows; one
+    shuffle groups them by hash (count-distinct-doc gate), one hash-keyed
+    semi join marks surviving windows, one doc_id-keyed window pass merges
+    islands — every exchange is key-partitioned, nothing corpus-sized sits
+    on one node (the suffix array's fatal constraint at 100 TB). The
+    polynomial window hash is portable_token_hash over the space-joined
+    gram, so the whole decision chain replays bit-exactly in DuckDB; a
+    31-bit hash can collide, but both engines collide identically, and a
+    production run would widen to a 62-bit pair-hash (as dedup_simhash
+    does) before acting on the spans.
+
+    Within-doc-only repeats (a phrase looping inside a single document)
+    are deliberately NOT flagged here — that signal lives in
+    textstats.repetition_columns; this operator targets the cross-document
+    boilerplate the paper removes.
+    """
+    from pyspark.sql.window import Window
+
+    grams = F.expr(
+        # positions are 0-based token offsets; ngrams via slice+join so the
+        # gram string matches the DuckDB twin byte-for-byte
+        f"CASE WHEN size(_tk) < {window} THEN array() ELSE "
+        f"transform(sequence(0, size(_tk) - {window}), "
+        f"i -> array_join(slice(_tk, i + 1, {window}), ' ')) END"
+    )
+    wnd = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk"))
+        .select("id", F.posexplode(grams).alias("pos", "g"))
+        .select("id", "pos", portable_token_hash(F.col("g")).alias("h"))
+    )
+    dup_h = (
+        wnd.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dw = wnd.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        dw.withColumn(
+            "new_isl",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + window),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("grp", F.sum("new_isl").over(w))
+    )
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            "n_windows",
+        )
+    )

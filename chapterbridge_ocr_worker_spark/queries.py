@@ -3603,6 +3603,47 @@ def decontam_overlap_q(spark, sf_dir):
     return out.withColumn("contaminated", F.col("contaminated").cast("int"))
 
 
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH toks AS ({_TK_CTE}),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             {_phash_sql("array_to_string(list_slice(tk, i, i + 7), ' ')")} AS h
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+            FROM toks WHERE len(tk) >= 8)
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dw AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dw)
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "exact substring deduplication (arXiv:2107.06499) as distributed "
+    "token-window hashing: every 8-token window hashed (portable fold), "
+    "hashes in >=2 distinct docs survive, per-doc surviving positions "
+    "merge into maximal duplicated spans — the suffix-array method's "
+    "shuffle-partitioned equivalence, span set replayed bit-exactly by "
+    "the SQL twin",
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    from .operators.dedup import duplicate_substring_spans
+
+    return duplicate_substring_spans(
+        t(spark, sf_dir, "documents"), window=8, min_docs=2
+    )
+
+
 def _pii_sql() -> str:
     """Java-regex AND RE2 compatible; byte-identical pattern strings on
     both engines (see operators/curation.py PII_*). Built by concatenation
@@ -4461,6 +4502,9 @@ _REGISTRY_ORDER = [
     # SemDeDup semantic dedup (round 5, late) — overflow; verified by
     # tools/oracle_check.py
     "emb_semdedup",
+    # exact substring dedup spans (round 5, late) — overflow; verified by
+    # tools/oracle_check.py
+    "dedup_substring_spans",
 ]
 
 

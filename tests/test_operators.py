@@ -1480,3 +1480,43 @@ def test_semdedup_drops_clone_keeps_outer_representative(spark):
     # on cent_sim and break by lower id
     assert out[0]["cent_sim"] < out[2]["cent_sim"]
     assert keep == {0, 4, 5, 6}
+
+
+def test_substring_spans_merge_and_scope(spark):
+    """Exact-substring-dedup semantics on a hand-built corpus: a shared
+    run longer than the window merges into ONE maximal span with exact
+    token boundaries; two disjoint shared phrases in one doc stay two
+    islands; a phrase repeated only WITHIN a single doc is not flagged."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon"          # 5 tokens
+    other = "zeta eta theta iota kappa"                # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 0/1 share tokens 2..6 (the 5-token phrase); doc 0 also
+            # shares `other` with doc 2 at tokens 10..14
+            (0, f"u0 v0 {shared} w0 x0 y0 {other} z0"),
+            (1, f"a1 b1 {shared} c1 d1"),
+            (2, f"p2 q2 r2 s2 t2 u2 v2 w2 x2 y2 {other}"),
+            # doc 3 repeats a phrase with itself only -> cross-doc gate
+            # must NOT flag it
+            (3, "solo dup dup dup solo dup dup dup solo xx yy zz"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = duplicate_substring_spans(docs, window=4, min_docs=2)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in out.collect()
+    }
+    # doc0: shared at tokens [2,7) -> windows at pos 2,3 -> span (2, 7);
+    #       other at tokens [10,15) -> windows at 10,11 -> span (10, 15)
+    # doc1: shared at [2,7); doc2: other at [10,15); doc3: nothing
+    assert spans == {
+        (0, 2, 7, 2),
+        (0, 10, 15, 2),
+        (1, 2, 7, 2),
+        (2, 10, 15, 2),
+    }
