@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "table_zorder_box",
     "emb_semdedup",
     "dedup_substring_spans",
+    "dedup_substring_excise",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

@@ -1077,3 +1077,99 @@ def duplicate_substring_spans(
             "n_windows",
         )
     )
+
+
+def excise_duplicate_substrings(
+    df: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION half of exact substring dedup (arXiv:2107.06499 trains
+    on the corrected corpus, not the span report): cut every cross-doc
+    duplicated span, keeping ONE canonical occurrence corpus-wide. The
+    keeper of a duplicated window is the minimum doc_id holding it — an
+    order-free rule, so the rewrite is deterministic under any
+    partitioning and replays exactly in SQL. A keeper doc keeps all its
+    occurrences; every other doc cuts the tokens its duplicated windows
+    cover (islands merged as in duplicate_substring_spans).
+
+    Returns ``(doc_id, text_deduped, n_tokens, n_removed)`` for EVERY
+    input doc (untouched docs pass through). ``text_deduped`` is the
+    surviving tokens re-joined with single spaces — the corpus is in
+    token-normalized form after this gate, which is what a training
+    tokenizer consumes anyway; both engines rebuild the string
+    identically.
+
+    Scale shape: adds to duplicate_substring_spans one more doc_id-keyed
+    pass — surviving tokens regroup via a sorted-struct aggregation, and
+    the cut-range containment check is a doc_id-equi join whose range
+    predicate touches only docs that HAVE cuts (the overwhelming majority
+    of a deduped corpus joins nothing and passes through the left side).
+    """
+    from pyspark.sql.window import Window
+
+    grams = F.expr(
+        f"CASE WHEN size(_tk) < {window} THEN array() ELSE "
+        f"transform(sequence(0, size(_tk) - {window}), "
+        f"i -> array_join(slice(_tk, i + 1, {window}), ' ')) END"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    wnd = base.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id", "pos", portable_token_hash(F.col("g")).alias("h")
+    )
+    info = wnd.groupBy("h").agg(
+        F.countDistinct("id").alias("nd"), F.min("id").alias("keeper")
+    )
+    cutw = (
+        wnd.join(info, "h")
+        .filter((F.col("nd") >= min_docs) & (F.col("id") != F.col("keeper")))
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    ranges = (
+        cutw.withColumn(
+            "new_isl",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + window),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("grp", F.sum("new_isl").over(w))
+        .groupBy("id", "grp")
+        .agg(F.min("pos").alias("cs"), (F.max("pos") + window).alias("ce"))
+    )
+    toks_idx = base.select("id", F.posexplode("_tk").alias("ti", "tok"))
+    kept = toks_idx.join(
+        ranges,
+        (toks_idx["id"] == ranges["id"])
+        & (F.col("ti") >= F.col("cs"))
+        & (F.col("ti") < F.col("ce")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("id", F.size("_tk").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            F.col("n_tokens").cast("long"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -3644,6 +3644,59 @@ def dedup_substring_spans_q(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_substring_excise",
+    f"""
+    WITH toks AS ({_TK_CTE}),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             {_phash_sql("array_to_string(list_slice(tk, i, i + 7), ' ')")} AS h
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+            FROM toks WHERE len(tk) >= 8)
+    ),
+    info AS (SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+             FROM w GROUP BY h),
+    cutw AS (SELECT w.doc_id, w.pos FROM w JOIN info USING (h)
+             WHERE info.nd >= 2 AND w.doc_id <> info.keeper),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM cutw)
+    ),
+    rng AS (SELECT doc_id, MIN(pos) AS cs, MAX(pos) + 8 AS ce
+            FROM isl GROUP BY doc_id, grp),
+    ti AS (SELECT doc_id, i - 1 AS tix, tk[i] AS tok
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                 FROM toks)),
+    kept AS (SELECT t.doc_id, t.tix, t.tok FROM ti t
+             WHERE NOT EXISTS (SELECT 1 FROM rng r
+                               WHERE r.doc_id = t.doc_id
+                                 AND t.tix >= r.cs AND t.tix < r.ce)),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tix) AS text_deduped,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(reb.text_deduped, '') AS text_deduped,
+           CAST(len(d.tk) AS BIGINT) AS n_tokens,
+           CAST(len(d.tk) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks d LEFT JOIN reb USING (doc_id)
+    """,
+    "the ACTION half of exact substring dedup (arXiv:2107.06499): cut "
+    "every cross-doc duplicated >=8-token span, keeper = min doc_id per "
+    "window (order-free), untouched docs pass through; the rewritten "
+    "token-normalized text itself is value-hashed against the SQL twin",
+)
+def dedup_substring_excise_q(spark, sf_dir):
+    from .operators.dedup import excise_duplicate_substrings
+
+    return excise_duplicate_substrings(
+        t(spark, sf_dir, "documents"), window=8, min_docs=2
+    )
+
+
 def _pii_sql() -> str:
     """Java-regex AND RE2 compatible; byte-identical pattern strings on
     both engines (see operators/curation.py PII_*). Built by concatenation
@@ -4505,6 +4558,7 @@ _REGISTRY_ORDER = [
     # exact substring dedup spans (round 5, late) — overflow; verified by
     # tools/oracle_check.py
     "dedup_substring_spans",
+    "dedup_substring_excise",
 ]
 
 

@@ -1520,3 +1520,36 @@ def test_substring_spans_merge_and_scope(spark):
         (1, 2, 7, 2),
         (2, 10, 15, 2),
     }
+
+
+def test_substring_excise_keeps_one_canonical_copy(spark):
+    """The corrected-corpus semantics: the minimum doc_id holding a
+    duplicated window keeps its text verbatim (token-normalized); every
+    other holder loses exactly the covered span; untouched docs pass
+    through with n_removed=0."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        excise_duplicate_substrings,
+    )
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0 v0 {shared} w0"),
+            (1, f"a1 b1 c1 {shared} d1 e1"),
+            (2, "lonely words with no duplicate run at all"),
+            (3, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in
+           excise_duplicate_substrings(docs, window=4, min_docs=2).collect()}
+    assert len(out) == 4
+    # doc 0 is the keeper (min id): verbatim, nothing removed
+    assert out[0]["text_deduped"] == f"u0 v0 {shared} w0"
+    assert out[0]["n_removed"] == 0
+    # doc 1 loses tokens [3, 8) (windows at pos 3,4 merge): 5 tokens cut
+    assert out[1]["text_deduped"] == "a1 b1 c1 d1 e1"
+    assert out[1]["n_removed"] == 5 and out[1]["n_tokens"] == 10
+    # pass-through and empty-text docs survive
+    assert out[2]["n_removed"] == 0 and out[2]["n_tokens"] == 8
+    assert out[3]["text_deduped"] == "" and out[3]["n_tokens"] == 0
