@@ -7,6 +7,9 @@ dedup + inventory; this is the release pipeline):
     URL dedup (opt-in)          keep-oldest per canonical URL (crawl front door)
       -> near-dup cluster dedup keep one representative per cluster
       -> span dedup (opt-in)    C4-style repeated-segment removal
+      -> substring excise (opt-in)  Lee-et-al exact substring dedup:
+                                cross-doc duplicated runs cut at any
+                                offset, one canonical copy kept
       -> repetition gate        drop degenerate docs (Gopher-style)
       -> LM quality floor (opt-in)  CCNet-style: drop docs whose avg
                                 bigram log-prob under the corpus-trained
@@ -73,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--segment-dedup-k", type=int, default=0,
                     help="k>0 enables corpus-wide k-token span dedup "
                     "after cluster dedup; docs emptied by it are dropped")
+    ap.add_argument("--substring-window", type=int, default=0,
+                    help="w>0 enables exact substring excision (Lee et "
+                    "al. 2107.06499): cross-doc duplicated runs of >= w "
+                    "tokens are cut at ANY offset, one canonical copy "
+                    "kept corpus-wide; docs emptied by it are dropped")
     ap.add_argument("--url-col", default=None,
                     help="input column carrying the fetch URL; enables "
                     "stage-0 URL-level dedup (keep-oldest doc per "
@@ -171,6 +179,31 @@ def main(argv: list[str] | None = None) -> int:
         funnel["after_span_dedup"] = docs.count()
         funnel["segments_removed"] = int(
             sd.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+
+    # 1c. exact substring excision (opt-in): Lee et al. 2107.06499.
+    # segment_dedup's fixed segments catch aligned boilerplate; this cuts
+    # duplicated >=w-token runs at ANY offset, keeping one canonical copy
+    # corpus-wide. Materialized like stage 1 so the hash/cut decision runs
+    # once, not per downstream action.
+    if args.substring_window > 0:
+        from chapterbridge_ocr_worker_spark.operators.dedup import (
+            excise_duplicate_substrings,
+        )
+
+        ex = excise_duplicate_substrings(docs, window=args.substring_window)
+        sub_path = os.path.join(args.out, "_stage_substring")
+        ex.write.mode("overwrite").parquet(sub_path)
+        ex = spark.read.parquet(sub_path)
+        docs = docs.drop("text").join(
+            ex.filter(F.length("text_deduped") > 0).select(
+                "doc_id", F.col("text_deduped").alias("text")
+            ),
+            "doc_id",
+        ).select("doc_id", "text", "lang")
+        funnel["after_substring_excise"] = docs.count()
+        funnel["substring_tokens_removed"] = int(
+            ex.agg(F.sum("n_removed")).collect()[0][0] or 0
         )
 
     # 2. repetition gate (dup_word_fraction is corpus-relative noise on

@@ -619,3 +619,43 @@ def test_corpus_job_classifier_stage(spark, tmp_path):
     assert stats["after_classifier"] == 1
     final = {r["doc_id"] for r in spark.read.parquet(f"{out_dir}/corpus").collect()}
     assert final == {1}
+
+
+def test_corpus_job_substring_excise_stage(spark, tmp_path):
+    """--substring-window wires the Lee-et-al excision into the funnel:
+    a cross-doc duplicated run is cut from every doc but its min-id
+    keeper AT AN UNALIGNED OFFSET (the case fixed-segment dedup misses),
+    a doc whose text empties is dropped, and the funnel stats carry the
+    tokens-removed count."""
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} tail1 words here", "en"),       # keeper at offset 0
+        (2, f"off2 {shared} more talk here now", "en"),  # loses it at offset 1
+        (3, f"{shared}", "en"),                        # empties -> dropped
+        (4, "fresh words only here again", "en"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "corpus")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [sys.executable, os.path.join(repo, "jobs", "corpus_job.py"),
+           "--documents", docs_dir, "--out", out_dir,
+           "--substring-window", "4",
+           "--threshold", "1.01",  # isolate the excision stage
+           "--budget-num", "1", "--budget-den", "1",
+           "--shard-tokens", "16", "--n-buckets", "2", "--cores", "4"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["docs_in"] == 4 and stats["after_dedup"] == 4
+    assert stats["after_substring_excise"] == 3   # doc 3 emptied
+    assert stats["substring_tokens_removed"] == 8  # 4 from doc2 + 4 from doc3
+    final = {r["doc_id"]: r for r in
+             spark.read.parquet(f"{out_dir}/corpus").collect()}
+    assert set(final) == {1, 2, 4}
+    assert final[1]["text"] == f"{shared} tail1 words here"
+    assert final[2]["text"] == "off2 more talk here now"
