@@ -1173,3 +1173,131 @@ def excise_duplicate_substrings(
             .alias("n_removed"),
         )
     )
+
+
+# --- Bloom-filter membership gate -------------------------------------------
+# The 100-TB shape of "is this hash in the prior corpus?": an anti-join of a
+# weekly slice against 10^12 prior hashes shuffles the full prior table every
+# run. A Bloom bitmap over the prior hashes is ~10 bits/key (1.2 GB at 10^9
+# keys) and broadcastable; probing it answers "definitely not present" for
+# the overwhelmingly-novel majority of a crawl slice, so the exact confirm
+# join only ever sees the bloom-POSITIVE sliver (true dups + the deliberate
+# false-positive rate). The final keep/drop set is EXACT regardless of the
+# filter's false positives — the bloom is a prefilter, never the verdict.
+
+BLOOM_M_BITS = 1 << 18  # bitmap size (bits); ~10 bits/key at 26k keys
+BLOOM_K = 5  # probes per key
+
+
+def _bloom_positions(h: Column, m_bits: int, k: int) -> Column:
+    """array<long> of k bit positions for a 32-hex-char md5 string, via
+    Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m. h1/h2
+    are the two 60-bit halves of the md5 itself (deterministic across
+    runs, engines, and cluster sizes — the bitmap is portable state)."""
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    # force h2 odd so the probe stride never degenerates to 0 mod m
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % F.lit(m_bits)).cast("long") for i in range(k)]
+    )
+
+
+def bloom_build(
+    hashes: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    h_col: str = "h",
+) -> DataFrame:
+    """(widx, word): the set 64-bit words of a Bloom bitmap over the md5
+    hashes in ``hashes``. Scale shape: explode k positions per key (narrow),
+    distinct collapses map-side, then one groupBy on widx — output is at
+    most m/64 rows no matter how many keys went in, i.e. the bitmap TABLE
+    is broadcast-sized by construction and can be materialized next to the
+    signature tables as incremental state (bit_or of two builds == build of
+    the union, so weekly slices fold in with a trivial re-aggregate)."""
+    return (
+        hashes.select(
+            F.explode(_bloom_positions(F.col(h_col), m_bits, k)).alias("pos")
+        )
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("long").alias("widx"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    keyed: DataFrame,
+    bloom_words: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    h_col: str = "h",
+) -> DataFrame:
+    """Input rows + ``bloom_pos`` (boolean): true iff EVERY probe bit is
+    set, i.e. the key is possibly-present (false positives at the designed
+    rate, never false negatives). The join is an equi-join against the
+    broadcast bitmap table — no shuffle of the probed side beyond the
+    k-way explode/regroup on its own key."""
+    probes = keyed.select(
+        F.col(h_col).alias("_bh"),
+        F.explode(_bloom_positions(F.col(h_col), m_bits, k)).alias("pos"),
+    ).distinct()
+    hits = (
+        probes.withColumn("widx", (F.col("pos") / 64).cast("long"))
+        .join(F.broadcast(bloom_words), "widx", "left")
+        .withColumn(
+            "bit_set",
+            F.expr(
+                "coalesce(word, 0L) & shiftleft(1L, CAST(pos % 64 AS INT))"
+            )
+            != 0,
+        )
+        .groupBy("_bh")
+        .agg(F.min("bit_set").alias("bloom_pos"))
+    )
+    return keyed.join(hits, keyed[h_col] == hits["_bh"], "left").drop("_bh")
+
+
+def bloom_gated_incremental_exact(
+    new_docs: DataFrame,
+    prior_hashes: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """incremental_exact_dedup with a Bloom prefilter: same (id, keep)
+    output, bit-identical (the equivalence is pinned by test and by the
+    shared SQL oracle), but the exact membership join against the prior
+    corpus runs ONLY over bloom-positive hashes. At a real crawl's novelty
+    rate (>90% new content) that cuts the confirm join's probe side by
+    ~10x; the bitmap itself is the only prior-corpus-sized artifact and it
+    is m/64 longs regardless of corpus size. Reference anchor: the resume
+    anti-join semantics of workers/ocr/enqueue.py:49-87, with the prior-
+    key set compressed from a table into a bitmap."""
+    words = bloom_build(prior_hashes, m_bits, k)
+    new_h = exact_hashes(new_docs, text_col, id_col)
+    gated = bloom_probe(new_h, words, m_bits, k)
+    # confirm join: only possibly-present hashes touch the prior table
+    confirmed = (
+        gated.filter(F.col("bloom_pos"))
+        .select("h")
+        .distinct()
+        .join(prior_hashes.select("h").distinct(), "h", "left_semi")
+        .withColumn("_prior", F.lit(1))
+    )
+    first_new = new_h.groupBy("h").agg(F.min("id").alias("first_new"))
+    return (
+        new_h.join(first_new, "h")
+        .join(confirmed, "h", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("_prior").isNull() & (F.col("id") == F.col("first_new")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )

@@ -1812,6 +1812,36 @@ def dedup_exact_incremental_q(spark, sf_dir):
 
 
 @q(
+    "dedup_bloom_gate",
+    f"""
+    WITH thr AS (SELECT ((MAX(doc_id) + 1) * 6) // 10 AS t FROM documents),
+    nh AS (SELECT doc_id AS id, md5({_NORM_SQL}) AS h FROM documents
+           WHERE doc_id >= (SELECT t FROM thr)),
+    ph AS (SELECT DISTINCT md5({_NORM_SQL}) AS h FROM documents
+           WHERE doc_id < (SELECT t FROM thr)),
+    fn AS (SELECT h, MIN(id) AS first_new FROM nh GROUP BY h)
+    SELECT nh.id,
+           CASE WHEN ph.h IS NULL AND nh.id = fn.first_new
+                THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END AS keep
+    FROM nh JOIN fn ON fn.h = nh.h LEFT JOIN ph ON ph.h = nh.h
+    """,
+    "Bloom-gated incremental exact dedup: same logical result as "
+    "dedup_exact_incremental (shared oracle — the bloom is a prefilter, "
+    "never the verdict), but the exact membership join against the prior "
+    "corpus only sees bloom-POSITIVE hashes; the prior state probed per "
+    "run is a broadcast-sized bitmap table instead of the full hash table",
+)
+def dedup_bloom_gate_q(spark, sf_dir):
+    from .operators.dedup import bloom_gated_incremental_exact, exact_hashes
+
+    docs = t(spark, sf_dir, "documents")
+    t_split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
+    prior = docs.filter(F.col("doc_id") < t_split)
+    new = docs.filter(F.col("doc_id") >= t_split)
+    return bloom_gated_incremental_exact(new, exact_hashes(prior))
+
+
+@q(
     "stream_dedup_exact",
     f"""
     SELECT md5({_NORM_SQL}) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -4559,6 +4589,9 @@ _REGISTRY_ORDER = [
     # tools/oracle_check.py
     "dedup_substring_spans",
     "dedup_substring_excise",
+    # Bloom-gated incremental exact dedup (round 5, closing) — overflow;
+    # verified by tools/oracle_check.py
+    "dedup_bloom_gate",
 ]
 
 

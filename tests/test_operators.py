@@ -1553,3 +1553,108 @@ def test_substring_excise_keeps_one_canonical_copy(spark):
     # pass-through and empty-text docs survive
     assert out[2]["n_removed"] == 0 and out[2]["n_tokens"] == 8
     assert out[3]["text_deduped"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_bloom_gate_exact_equivalence_and_selectivity(spark):
+    """The Bloom prefilter never changes the answer, only the probe-side
+    size of the confirm join: on a corpus with planted cross-slice dups,
+    bloom_gated_incremental_exact == incremental_exact_dedup row-for-row,
+    every true prior-dup is bloom-positive (no false negatives — the
+    correctness-critical direction), and novel docs overwhelmingly skip
+    the confirm join."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bloom_build,
+        bloom_gated_incremental_exact,
+        bloom_probe,
+        exact_hashes,
+        incremental_exact_dedup,
+    )
+
+    prior = spark.createDataFrame(
+        [(i, f"prior document number {i} body text") for i in range(200)],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        # 10 exact copies of prior docs, 2 dups-within-new, 88 novel
+        [(1000 + i, f"prior document number {i} body text") for i in range(10)]
+        + [(1100, "novel twin"), (1101, "novel twin")]
+        + [(1200 + i, f"new document {i} never seen") for i in range(88)],
+        "doc_id: long, text: string",
+    )
+    ph = exact_hashes(prior)
+    plain = {r["id"]: r["keep"] for r in incremental_exact_dedup(new, ph).collect()}
+    gated = {
+        r["id"]: r["keep"]
+        for r in bloom_gated_incremental_exact(new, ph).collect()
+    }
+    assert gated == plain
+    assert sum(gated.values()) == 88 + 1  # novels + first "novel twin"
+
+    probes = bloom_probe(exact_hashes(new), bloom_build(ph))
+    pos = {r["id"] for r in probes.filter("bloom_pos").collect()}
+    dup_ids = set(range(1000, 1010))
+    assert dup_ids <= pos  # zero false negatives
+    # designed fp rate at ~10 bits/key is <1%; allow slack but require the
+    # gate to actually gate: at most a handful of the 90 novel hashes pass
+    assert len(pos - dup_ids) <= 5
+
+
+def test_bloom_gate_stays_exact_under_heavy_false_positives(spark):
+    """Shrink the bitmap until false positives are common (m=64 bits for
+    200 keys -> saturated filter): the gate's selectivity collapses but
+    the final keep set is STILL bit-identical to the plain anti-join —
+    false positives cost work, never answers."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bloom_gated_incremental_exact,
+        exact_hashes,
+        incremental_exact_dedup,
+    )
+
+    prior = spark.createDataFrame(
+        [(i, f"prior doc {i}") for i in range(200)], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(500, "prior doc 7"), (501, "fresh one"), (502, "fresh two"),
+         (503, "fresh one")],
+        "doc_id: long, text: string",
+    )
+    ph = exact_hashes(prior)
+    plain = {r["id"]: r["keep"] for r in incremental_exact_dedup(new, ph).collect()}
+    tiny = {
+        r["id"]: r["keep"]
+        for r in bloom_gated_incremental_exact(new, ph, m_bits=64, k=3).collect()
+    }
+    assert tiny == plain == {500: 0, 501: 1, 502: 1, 503: 0}
+
+
+def test_bloom_build_folds_incrementally(spark):
+    """bit_or of two slices' bitmaps == the bitmap of the union — the
+    property that lets weekly runs append a bloom-words snapshot and
+    re-aggregate instead of rebuilding over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        bloom_build,
+        exact_hashes,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"slice-a doc {i}") for i in range(50)], "doc_id: long, text: string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"slice-b doc {i}") for i in range(50, 90)],
+        "doc_id: long, text: string",
+    )
+    union_words = {
+        r["widx"]: r["word"]
+        for r in bloom_build(exact_hashes(a.union(b))).collect()
+    }
+    folded = {
+        r["widx"]: r["word"]
+        for r in bloom_build(exact_hashes(a))
+        .union(bloom_build(exact_hashes(b)))
+        .groupBy("widx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    assert folded == union_words
