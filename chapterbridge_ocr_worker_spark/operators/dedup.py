@@ -1266,6 +1266,7 @@ def bloom_gated_incremental_exact(
     k: int = BLOOM_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_words: DataFrame | None = None,
 ) -> DataFrame:
     """incremental_exact_dedup with a Bloom prefilter: same (id, keep)
     output, bit-identical (the equivalence is pinned by test and by the
@@ -1275,8 +1276,18 @@ def bloom_gated_incremental_exact(
     ~10x; the bitmap itself is the only prior-corpus-sized artifact and it
     is m/64 longs regardless of corpus size. Reference anchor: the resume
     anti-join semantics of workers/ocr/enqueue.py:49-87, with the prior-
-    key set compressed from a table into a bitmap."""
-    words = bloom_build(prior_hashes, m_bits, k)
+    key set compressed from a table into a bitmap.
+
+    ``bloom_words``: a prebuilt (widx, word) bitmap table — the persistent
+    state a weekly job maintains by snapshot-appending each slice's bitmap
+    and folding with bit_or at read time (see jobs/exactdedup_job.py).
+    When given, the prior hash table is touched ONLY by the confirm join's
+    bloom-positive sliver; nothing rebuilds the bitmap from the corpus."""
+    words = (
+        bloom_words
+        if bloom_words is not None
+        else bloom_build(prior_hashes, m_bits, k)
+    )
     new_h = exact_hashes(new_docs, text_col, id_col)
     gated = bloom_probe(new_h, words, m_bits, k)
     # confirm join: only possibly-present hashes touch the prior table

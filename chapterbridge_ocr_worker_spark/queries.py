@@ -4558,9 +4558,9 @@ _REGISTRY_ORDER = [
     "p6_validation_split",
     "j6_upsert_latest",
     "d3_union_dedup",
-    # IVF-PQ composition (round 5, late) — overflow; verified by
-    # tools/oracle_check.py
-    "emb_ivfpq_topk",
+    # IVF-PQ composition (round 5, late) — emb_ivfpq_topk rotated into the
+    # driver window (fifth rotation); the indexed twin stays overflow,
+    # verified by tools/oracle_check.py
     "emb_ivfpq_indexed",
     "curate_train_val_split",
     "table_pruned_range",

@@ -582,6 +582,7 @@ def compact_table(
     name: str,
     target_files: int | None = None,
     keys: list[str] | None = None,
+    fold=None,
 ) -> dict:
     """Rewrite all of a table's snapshots into one compacted snapshot —
     the Iceberg `rewrite_data_files` analogue. Every append_snapshot adds a
@@ -612,7 +613,16 @@ def compact_table(
     during the (long) rewrite never loses its commit. Run ONE compactor at
     a time (two concurrent compactions of the same table would each fold
     the other's output).
+
+    ``fold``: optional DataFrame -> DataFrame transform applied to the
+    unioned rows before the rewrite, for tables whose read-time semantics
+    are an aggregate over snapshots (e.g. a Bloom bitmap folded with
+    bit_or): fold(union of snapshots) must read identically to the union
+    under the table's own reader. Mutually exclusive with ``keys`` (a
+    folded table has no per-snapshot provenance to preserve).
     """
+    if fold is not None and keys is not None:
+        raise ValueError("compact_table: fold and keys are mutually exclusive")
     import shutil
 
     path = table_path(root, name)
@@ -660,6 +670,8 @@ def compact_table(
     )
     if df is None:  # manifest exists but every listed dir is gone
         return empty
+    if fold is not None:
+        df = fold(df)
     target = target_files or max(1, spark.sparkContext.defaultParallelism)
     # write the compacted snapshot WITHOUT registering it: a reader during
     # this window still unions exactly the old live set

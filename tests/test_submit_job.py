@@ -659,3 +659,153 @@ def test_corpus_job_substring_excise_stage(spark, tmp_path):
     assert set(final) == {1, 2, 4}
     assert final[1]["text"] == f"{shared} tail1 words here"
     assert final[2]["text"] == "off2 more talk here now"
+
+
+def test_exactdedup_job_cli(spark, tmp_path):
+    """The weekly exact-dedup entrypoint (jobs/exactdedup_job.py):
+    bootstrap materializes the hash + bloom state, the incremental run
+    judges a new slice through the folded-bitmap gate, a committed-slice
+    rerun is a no-op, and a crash between the bloom append and the hashes
+    append (the resume marker) redoes the slice bit-identically — the
+    orphaned duplicate bloom snapshot is idempotent under the fold."""
+    import shutil
+
+    texts = {i: f"exact doc body number {i}" for i in range(40)}
+    texts[24] = texts[3]   # prior-vs-new dup
+    texts[26] = texts[25]  # new-vs-new dup
+
+    w1 = str(tmp_path / "week1")
+    w2 = str(tmp_path / "week2")
+    spark.createDataFrame(
+        [(i, texts[i]) for i in range(24)], ["doc_id", "text"]
+    ).write.parquet(w1)
+    spark.createDataFrame(
+        [(i, texts[i]) for i in range(24, 40)], ["doc_id", "text"]
+    ).write.parquet(w2)
+    state = str(tmp_path / "state")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(docs_dir, out_dir):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "exactdedup_job.py"),
+             "--documents", docs_dir, "--state", state,
+             "--out", out_dir, "--cores", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(w1, str(tmp_path / "out1"))
+    assert s1 == {
+        "mode": "bootstrap", "docs_in": 24, "skipped_done": 0, "kept": 24,
+        "dropped_as_dups": 0, "corpus_total": 24, "compacted": {},
+    }
+
+    # snapshot the bootstrap state BEFORE week2 commits (crash sim below)
+    pre_w2_hashes = str(tmp_path / "hashes_backup")
+    shutil.copytree(os.path.join(state, "hashes"), pre_w2_hashes)
+
+    s2 = run(w2, str(tmp_path / "out2"))
+    assert s2["mode"] == "incremental"
+    assert s2["docs_in"] == 16 and s2["corpus_total"] == 40
+    assert s2["dropped_as_dups"] == 2  # 24 (dup of prior 3), 26 (dup of 25)
+    dec = {
+        r["id"]: r["keep"]
+        for r in spark.read.parquet(str(tmp_path / "out2" / "decisions")).collect()
+    }
+    assert dec[24] == 0 and dec[26] == 0 and dec[25] == 1
+    assert sum(dec.values()) == 14
+
+    # rerun of the committed slice: state untouched, answered from marker
+    s2b = run(w2, str(tmp_path / "out2b"))
+    assert s2b["mode"] == "resume-noop"
+    assert s2b["skipped_done"] == 16 and s2b["corpus_total"] == 40
+
+    # CRASH WINDOW: bloom committed, hashes marker not — restore the
+    # hashes table to its pre-week2 state while keeping week2's bloom
+    # snapshot. The rerun must redo the slice (marker gone) and produce
+    # the SAME decisions: the duplicate bloom snapshot only re-sets bits.
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    shutil.rmtree(os.path.join(state, "hashes"))
+    shutil.copytree(pre_w2_hashes, os.path.join(state, "hashes"))
+    assert tables.read_table(spark, state, "hashes").count() == 24
+
+    s2c = run(w2, str(tmp_path / "out2c"))
+    assert s2c["mode"] == "incremental"
+    assert s2c["dropped_as_dups"] == 2 and s2c["corpus_total"] == 40
+    dec_c = {
+        r["id"]: r["keep"]
+        for r in spark.read.parquet(str(tmp_path / "out2c" / "decisions")).collect()
+    }
+    assert dec_c == dec
+
+    # incremental-vs-full equivalence over the whole corpus: the union of
+    # per-run decisions == plain keep-first exact dedup of all 40 docs
+    from chapterbridge_ocr_worker_spark.operators.dedup import exact_hashes
+    from pyspark.sql import functions as F
+
+    full_h = exact_hashes(
+        spark.createDataFrame([(i, texts[i]) for i in range(40)],
+                              ["doc_id", "text"])
+    )
+    full_first = full_h.groupBy("h").agg(F.min("id").alias("f"))
+    full_keep = {
+        r["id"]: int(r["id"] == r["f"])
+        for r in full_h.join(full_first, "h").collect()
+    }
+    dec1 = {
+        r["id"]: r["keep"]
+        for r in spark.read.parquet(str(tmp_path / "out1" / "decisions")).collect()
+    }
+    assert {**dec1, **dec_c} == full_keep
+
+
+def test_exactdedup_job_bloom_fold_compaction(spark, tmp_path):
+    """Weekly bloom snapshots pile up; once past COMPACT_AFTER the job
+    compacts the bloom table with the bit_or FOLD (compact_table's fold
+    hook) — afterwards the table holds at most m/64 word rows in one
+    snapshot, and later runs still dedup exactly against it."""
+    from chapterbridge_ocr_worker_spark.sources import tables
+
+    state = str(tmp_path / "state")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(i, rows):
+        d = str(tmp_path / f"wk{i}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(d)
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "exactdedup_job.py"),
+             "--documents", d, "--state", state,
+             "--out", str(tmp_path / f"o{i}"), "--cores", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    # 5 tiny slices; the 5th repeats the 1st slice's texts (all drop)
+    for i in range(4):
+        run(i, [(i * 10 + j, f"slice {i} doc {j}") for j in range(3)])
+    s5 = run(4, [(100 + j, f"slice 0 doc {j}") for j in range(3)])
+    assert s5["dropped_as_dups"] == 3 and s5["kept"] == 0
+    # the 5th append pushed both tables past COMPACT_AFTER=4
+    assert s5["compacted"] == {"hashes": 5, "bloom": 5}
+    bloom = tables.read_table(spark, state, "bloom")
+    assert len(tables._live_snapshots(os.path.join(state, "bloom"))) == 1
+    # folded: one row per distinct word index, bounded by m/64
+    from chapterbridge_ocr_worker_spark.operators.dedup import BLOOM_M_BITS
+
+    n = bloom.count()
+    assert n == bloom.select("widx").distinct().count() <= BLOOM_M_BITS // 64
+    assert tables.read_table(spark, state, "hashes").count() == 15
+
+    # post-compaction run still gates exactly
+    s6 = run(5, [(200, "slice 1 doc 0"), (201, "brand new doc")])
+    assert s6["dropped_as_dups"] == 1 and s6["kept"] == 1
