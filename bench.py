@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "emb_semdedup",
     "dedup_substring_spans",
     "dedup_substring_excise",
+    "dedup_bloom_gate",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run

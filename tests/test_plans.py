@@ -508,3 +508,19 @@ def test_dsir_stats_join_is_broadcast(spark):
         plan = pi.formatted(df)
         assert pi.count_broadcast_joins(df) >= 1, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_bloom_gate_bitmap_joins_broadcast(spark):
+    """dedup_bloom_gate: the (widx, word) bitmap table is broadcast-sized
+    by construction (<= m/64 rows regardless of corpus size) and must
+    reach the probe side as a broadcast — a SortMergeJoin on widx would
+    shuffle the k-way exploded probe stream of the whole slice at 100 TB.
+    The only sort-merge exchanges allowed are the hash-keyed joins of the
+    confirm/keep phase (uniform 128-bit keys)."""
+    df = QUERIES["dedup_bloom_gate"].fn(spark, SF)
+    plan = pi.formatted(df)
+    assert pi.count_broadcast_joins(df) >= 1
+    assert "SortMergeJoin (widx" not in plan and "widx#" not in (
+        # no sort-merge join keyed on widx anywhere in the plan
+        "".join(l for l in plan.splitlines() if "SortMergeJoin" in l)
+    )
