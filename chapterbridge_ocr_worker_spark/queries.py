@@ -4460,6 +4460,10 @@ _REGISTRY_ORDER = [
     "dedup_clusters",
     "dedup_incremental",
     "dedup_exact_incremental",
+    # sixth round-5 rotation: the bloom-gated exact sibling joins the
+    # window (s1_oldest_queued_top1 evicted to overflow — driver-green
+    # r01-r04, re-verified; see BENCH.md)
+    "dedup_bloom_gate",
     "dedup_simhash",
     "dedup_simhash_pairs",
     # fifth round-5 rotation: search + composed-ANN + UniMax families
@@ -4477,7 +4481,6 @@ _REGISTRY_ORDER = [
     "stream_session_windows",
     "stream_stateful_totals",
     # reference operator families with non-trivial Spark shapes
-    "s1_oldest_queued_top1",
     "j4_anti_resume",
     "w3_keep_oldest",
     "q7_nation_volume",
@@ -4589,9 +4592,9 @@ _REGISTRY_ORDER = [
     # tools/oracle_check.py
     "dedup_substring_spans",
     "dedup_substring_excise",
-    # Bloom-gated incremental exact dedup (round 5, closing) — overflow;
-    # verified by tools/oracle_check.py
-    "dedup_bloom_gate",
+    # evicted in the round-5 sixth rotation (driver rows green r01-r04;
+    # local oracle re-verification recorded in BENCH.md)
+    "s1_oldest_queued_top1",
 ]
 
 

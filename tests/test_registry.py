@@ -37,6 +37,7 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "dedup_incremental",
     "dedup_exact_incremental",
+    "dedup_bloom_gate",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "search_bm25_topk",
@@ -48,7 +49,6 @@ DRIVER_WINDOW = [
     "stream_hourly_append",
     "stream_session_windows",
     "stream_stateful_totals",
-    "s1_oldest_queued_top1",
     "j4_anti_resume",
     "w3_keep_oldest",
     "q7_nation_volume",
