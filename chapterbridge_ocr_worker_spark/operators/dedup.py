@@ -1189,6 +1189,25 @@ BLOOM_M_BITS = 1 << 18  # bitmap size (bits); ~10 bits/key at 26k keys
 BLOOM_K = 5  # probes per key
 
 
+def bloom_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for ``n_keys`` at the target false-positive rate,
+    by the standard formulas m = -n ln p / (ln 2)^2, k = (m/n) ln 2 —
+    how a 100-TB deployment sizes the bitmap instead of riding the
+    test-scale default. m is rounded UP to a power of two (so the word
+    table stays aligned and the modulo in _bloom_positions never biases
+    low positions) and k is recomputed from the grown m — the rounding
+    only ever lowers the fp rate below target (e.g. 10^9 keys at 1% ->
+    2^34 bits = 2.1 GB of words, k=12, analytic fp ~3e-4)."""
+    import math
+
+    if n_keys <= 0:
+        return BLOOM_M_BITS, BLOOM_K
+    m = -n_keys * math.log(fp_rate) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m)))
+    k = max(1, round(m_bits / n_keys * math.log(2)))
+    return m_bits, k
+
+
 def _bloom_positions(h: Column, m_bits: int, k: int) -> Column:
     """array<long> of k bit positions for a 32-hex-char md5 string, via
     Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m. h1/h2

@@ -17,6 +17,12 @@ State directory (owned by this job, carried run-to-run):
               LAST: it is the RESUME MARKER (anti-join below), so a rerun
               after a mid-commit crash redoes the run instead of silently
               skipping the bloom append.
+    bloom_params.json  the (m_bits, k) the bitmap was built with —
+              persisted at bootstrap and read back by every later run,
+              because bit positions are functions of these values: a
+              probe with mismatched params can false-NEGATIVE and keep a
+              duplicate. A conflicting --m-bits/--k on a later run is
+              refused (exit 2) instead of corrupting answers.
     bloom/    (widx, word) Bloom-bitmap words over each slice's hashes,
               one snapshot per run, folded at read time with bit_or
               (bloom_build(A) ∪ bloom_build(B) folds to bloom_build(A∪B)
@@ -84,8 +90,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     from chapterbridge_ocr_worker_spark.sources import tables
 
-    m_bits = args.m_bits or BLOOM_M_BITS
-    k = args.k or BLOOM_K
+    # BITMAP PARAMS ARE STATE: bit positions are functions of (m_bits, k),
+    # so every run MUST probe with the values the bitmap was built with —
+    # a mismatched probe can false-NEGATIVE and silently keep a duplicate.
+    # Bootstrap persists the choice next to the tables; later runs read it
+    # back and refuse a conflicting override instead of corrupting answers.
+    params_path = os.path.join(args.state, "bloom_params.json")
+    persisted = None
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            persisted = json.load(f)
+        for flag, key in (("m_bits", "m_bits"), ("k", "k")):
+            given = getattr(args, flag)
+            if given is not None and given != persisted[key]:
+                print(
+                    f"--{flag.replace('_', '-')} {given} conflicts with the "
+                    f"state's persisted {key}={persisted[key]}; the bitmap "
+                    "was built with the persisted value — rebuild state to "
+                    "change it",
+                    file=sys.stderr,
+                )
+                spark.stop()
+                return 2
+        m_bits, k = persisted["m_bits"], persisted["k"]
+    else:
+        m_bits = args.m_bits or BLOOM_M_BITS
+        k = args.k or BLOOM_K
 
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
 
@@ -152,9 +182,16 @@ def main(argv: list[str] | None = None) -> int:
     n_kept = decisions.filter("keep = 1").count()
     decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions"))
 
-    # state commits: bloom FIRST, hashes LAST (the resume marker) — a crash
-    # between the two makes the rerun redo the run, and the bloom table
-    # absorbs its duplicate snapshot idempotently.
+    # state commits: params first (idempotent — same content every run),
+    # then bloom, hashes LAST (the resume marker) — a crash between any
+    # two makes the rerun redo the run, and the bloom table absorbs its
+    # duplicate snapshot idempotently.
+    if persisted is None:
+        os.makedirs(args.state, exist_ok=True)
+        tmp = params_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"m_bits": m_bits, "k": k}, f)
+        os.replace(tmp, params_path)
     tables.append_snapshot(bloom_build(new_h, m_bits, k), args.state, "bloom")
     tables.append_snapshot(new_h, args.state, "hashes", stats_cols=["id"])
     n_corpus = tables.read_table(spark, args.state, "hashes").count()

@@ -1658,3 +1658,28 @@ def test_bloom_build_folds_incrementally(spark):
         .collect()
     }
     assert folded == union_words
+
+
+def test_bloom_params_sizing():
+    """bloom_params hits the textbook operating point: at the returned
+    (m, k), the analytic fp rate (1 - e^{-kn/m})^k is at or below ~the
+    requested target (power-of-two rounding only ever grows m), and the
+    defaults stay in range for the test-scale corpus."""
+    import math
+
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_params,
+    )
+
+    for n, p in ((26_000, 0.01), (1_000_000, 0.001), (10**9, 0.01)):
+        m, k = bloom_params(n, p)
+        assert m & (m - 1) == 0  # power of two
+        analytic = (1 - math.exp(-k * n / m)) ** k
+        assert analytic <= p * 1.05, (n, p, m, k, analytic)
+    # degenerate input falls back to the module defaults
+    assert bloom_params(0) == (BLOOM_M_BITS, BLOOM_K)
+    # 10^9 keys at 1%: the docstring's 2.1 GB / k=12 operating point
+    m, k = bloom_params(10**9, 0.01)
+    assert 1.0e9 <= m / 8 <= 2.5e9 and 5 <= k <= 16

@@ -776,22 +776,33 @@ def test_exactdedup_job_bloom_fold_compaction(spark, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
-    def run(i, rows):
+    def run(i, rows, extra=(), expect_rc=0):
         d = str(tmp_path / f"wk{i}")
         spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(d)
         out = subprocess.run(
             [sys.executable, os.path.join(repo, "jobs", "exactdedup_job.py"),
              "--documents", d, "--state", state,
-             "--out", str(tmp_path / f"o{i}"), "--cores", "4"],
+             "--out", str(tmp_path / f"o{i}"), "--cores", "4", *extra],
             capture_output=True, text=True, timeout=600, env=env,
         )
-        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.returncode == expect_rc, out.stderr[-2000:]
+        if expect_rc:
+            return out.stderr
         return json.loads(
             [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         )
 
-    # 5 tiny slices; the 5th repeats the 1st slice's texts (all drop)
-    for i in range(4):
+    # 5 tiny slices; the 5th repeats the 1st slice's texts (all drop).
+    # Bootstrap pins non-default bitmap params; later runs pass NO flags
+    # and must pick the persisted values up (the exact drops below prove
+    # the probes matched the bitmap), and a conflicting override is
+    # refused before touching state.
+    run(0, [(j, f"slice 0 doc {j}") for j in range(3)],
+        extra=("--m-bits", "4096", "--k", "3"))
+    err = run(99, [(999, "never processed")],
+              extra=("--m-bits", "8192"), expect_rc=2)
+    assert "conflicts with the state's persisted m_bits=4096" in err
+    for i in range(1, 4):
         run(i, [(i * 10 + j, f"slice {i} doc {j}") for j in range(3)])
     s5 = run(4, [(100 + j, f"slice 0 doc {j}") for j in range(3)])
     assert s5["dropped_as_dups"] == 3 and s5["kept"] == 0
@@ -799,11 +810,10 @@ def test_exactdedup_job_bloom_fold_compaction(spark, tmp_path):
     assert s5["compacted"] == {"hashes": 5, "bloom": 5}
     bloom = tables.read_table(spark, state, "bloom")
     assert len(tables._live_snapshots(os.path.join(state, "bloom"))) == 1
-    # folded: one row per distinct word index, bounded by m/64
-    from chapterbridge_ocr_worker_spark.operators.dedup import BLOOM_M_BITS
-
+    # folded: one row per distinct word index, bounded by the PERSISTED
+    # m/64 (the bootstrap's --m-bits 4096, not the module default)
     n = bloom.count()
-    assert n == bloom.select("widx").distinct().count() <= BLOOM_M_BITS // 64
+    assert n == bloom.select("widx").distinct().count() <= 4096 // 64
     assert tables.read_table(spark, state, "hashes").count() == 15
 
     # post-compaction run still gates exactly
