@@ -1302,12 +1302,29 @@ def bloom_gated_incremental_exact(
     and folding with bit_or at read time (see jobs/exactdedup_job.py).
     When given, the prior hash table is touched ONLY by the confirm join's
     bloom-positive sliver; nothing rebuilds the bitmap from the corpus."""
+    new_h = exact_hashes(new_docs, text_col, id_col)
+    return bloom_gated_keep(
+        new_h, prior_hashes, m_bits, k, bloom_words=bloom_words
+    )
+
+
+def bloom_gated_keep(
+    new_h: DataFrame,
+    prior_hashes: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    bloom_words: DataFrame | None = None,
+) -> DataFrame:
+    """The gate's core over any keyed ``(id, h)`` stream (h a 32-hex md5):
+    ``(id, keep)`` — keep iff h is absent from the prior set AND id is the
+    smallest new id carrying it. Content dedup keys on md5(normalized
+    text); the crawl frontier keys on md5(canonical URL) — same state
+    machine, same bitmap, same exactness guarantee."""
     words = (
         bloom_words
         if bloom_words is not None
         else bloom_build(prior_hashes, m_bits, k)
     )
-    new_h = exact_hashes(new_docs, text_col, id_col)
     gated = bloom_probe(new_h, words, m_bits, k)
     # confirm join: only possibly-present hashes touch the prior table
     confirmed = (

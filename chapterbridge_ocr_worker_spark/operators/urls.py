@@ -104,3 +104,38 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_fetches"))
     )
+
+
+def url_frontier_dedup(
+    new_df: DataFrame,
+    prior_df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    m_bits: int | None = None,
+    k: int | None = None,
+    bloom_words: DataFrame | None = None,
+) -> DataFrame:
+    """Crawl-frontier URL dedup: ``(id, keep)`` per NEW fetch — fetched
+    iff its canonical URL was never seen in the prior corpus and it is
+    the oldest new fetch of that URL. The textbook Bloom deployment: at
+    10^12 seen URLs the frontier cannot anti-join the seen table per
+    slice, but it CAN probe a broadcast bitmap and confirm only the
+    bloom-positive sliver (operators.dedup.bloom_gated_keep — same state
+    machine as content dedup, keyed on md5(canonical URL); answers exact
+    at any false-positive rate). ``bloom_words``: persistent bitmap state
+    as maintained by jobs/exactdedup_job.py's table discipline."""
+    from .dedup import BLOOM_K, BLOOM_M_BITS, bloom_gated_keep
+
+    def keyed(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(canonicalize_url(F.col(url_col))).alias("h"),
+        )
+
+    return bloom_gated_keep(
+        keyed(new_df),
+        keyed(prior_df).select("h"),
+        m_bits or BLOOM_M_BITS,
+        k or BLOOM_K,
+        bloom_words=bloom_words,
+    )

@@ -1512,6 +1512,40 @@ def url_dedup_keep_q(spark, sf_dir):
     return url_dedup(u)
 
 
+@q(
+    "url_frontier_gate",
+    _URL_CANON_CTE
+    + """
+    , thr AS (SELECT ((MAX(doc_id) + 1) * 6) // 10 AS t FROM documents),
+    nc AS (SELECT doc_id AS id, canon_url FROM canon
+           WHERE doc_id >= (SELECT t FROM thr)),
+    pc AS (SELECT DISTINCT canon_url FROM canon
+           WHERE doc_id < (SELECT t FROM thr)),
+    fn AS (SELECT canon_url, MIN(id) AS first_new FROM nc GROUP BY canon_url)
+    SELECT nc.id,
+           CASE WHEN pc.canon_url IS NULL AND nc.id = fn.first_new
+                THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END AS keep
+    FROM nc JOIN fn ON fn.canon_url = nc.canon_url
+    LEFT JOIN pc ON pc.canon_url = nc.canon_url
+    """,
+    "Crawl-frontier URL dedup through the Bloom gate: a new slice's "
+    "fetches are kept iff their canonical URL was never seen in the prior "
+    "corpus (and they are the slice's oldest fetch of it). Same gated "
+    "state machine as dedup_bloom_gate keyed on md5(canonical URL) — the "
+    "textbook bitmap deployment: at 10^12 seen URLs the frontier probes a "
+    "broadcast bitmap, never anti-joins the seen table",
+)
+def url_frontier_gate_q(spark, sf_dir):
+    from .operators.urls import synth_url, url_frontier_dedup
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select("doc_id", synth_url(F.col("doc_id")).alias("url"))
+    t_split = (int(u.agg(F.max("doc_id")).first()[0]) + 1) * 6 // 10
+    return url_frontier_dedup(
+        u.filter(F.col("doc_id") >= t_split), u.filter(F.col("doc_id") < t_split)
+    )
+
+
 _LANGED_CTE_SQL = """
     WITH v AS (
       SELECT doc_id, text,
@@ -4595,6 +4629,9 @@ _REGISTRY_ORDER = [
     # evicted in the round-5 sixth rotation (driver rows green r01-r04;
     # local oracle re-verification recorded in BENCH.md)
     "s1_oldest_queued_top1",
+    # crawl-frontier URL dedup through the bloom gate (round 5, closing)
+    # — overflow; verified by tools/oracle_check.py
+    "url_frontier_gate",
 ]
 
 

@@ -1683,3 +1683,26 @@ def test_bloom_params_sizing():
     # 10^9 keys at 1%: the docstring's 2.1 GB / k=12 operating point
     m, k = bloom_params(10**9, 0.01)
     assert 1.0e9 <= m / 8 <= 2.5e9 and 5 <= k <= 16
+
+
+def test_url_frontier_dedup_planted(spark):
+    """Frontier semantics on planted URLs: a new fetch is kept iff its
+    CANONICAL url was never seen before (cosmetic variants of a prior
+    fetch are dups) and it is the oldest new fetch of that url; the gate
+    matches a plain canonical anti-join decision-for-decision."""
+    from chapterbridge_ocr_worker_spark.operators.urls import url_frontier_dedup
+
+    prior = spark.createDataFrame(
+        [(1, "https://example.com/a?utm_source=x"),
+         (2, "http://other.com/b")],
+        "doc_id: long, text: string",
+    ).withColumnRenamed("text", "url")
+    new = spark.createDataFrame(
+        [(10, "HTTPS://WWW.Example.COM:443/a"),   # canon-dup of prior 1
+         (11, "https://fresh.com/c"),             # novel
+         (12, "https://fresh.com/c/"),            # canon-dup of 11 (new-new)
+         (13, "http://other.com/b?ref=tw")],      # canon-dup of prior 2
+        "doc_id: long, text: string",
+    ).withColumnRenamed("text", "url")
+    got = {r["id"]: r["keep"] for r in url_frontier_dedup(new, prior).collect()}
+    assert got == {10: 0, 11: 1, 12: 0, 13: 0}
