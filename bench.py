@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "dedup_substring_excise",
     "dedup_bloom_gate",
+    "url_frontier_gate",
 ]
 
 # queries whose cross-process scratch state must be wiped per timed run
