@@ -1,0 +1,627 @@
+"""Vectorized Arrow/NumPy kernels for the embedding/ANN family (guide §4.2).
+
+Round-6 optimization: the similarity operators' per-pair math was pure
+JVM higher-order-function folds (``aggregate(zip_with(...))``), which are
+interpreted lambda-at-a-time — measured ~100 ns/element, so a brute-force
+pass at sf1.0 (4M pairs x 64 dims x 3 folds) burned ~75 s. These kernels
+hand whole Arrow batches to NumPy instead, at ~1 ns/element.
+
+BIT-EXACTNESS CONTRACT (what keeps the DuckDB oracle hashes green):
+
+- Every float fold replays the JVM expression's EXACT operation order:
+  ``dot = fold_{j=0..d-1} acc + (a[j] * b[j])`` becomes a NumPy loop over
+  j of elementwise multiply-then-add — one IEEE-754 double rounding per
+  operation, identical to the JVM's, because both run SSE2 doubles with
+  no FMA contraction (``np.add``/``np.multiply`` are elementwise, never
+  pairwise-summed).
+- float32 -> float64 widening is exact in both engines.
+- NO rounding decision is ever made in Python: ``F.round`` (HALF_UP over
+  Java's shortest-decimal representation) stays in the JVM, as do all
+  argmax / rank decisions derived from rounded values.
+- Partial top-k pruning inside a kernel selects by RAW value threshold
+  only: every row whose score ties the k-th best (or is NaN, which Spark
+  orders above all values) is kept, so the emitted candidate set is a
+  superset of the true top-k under Spark's ordering and the final JVM
+  window produces the identical result.
+
+Scale shape: each kernel is a corpus-linear mapInArrow pass; the query
+side rides in as a broadcast (bounded: |queries| x dim doubles — the same
+broadcast-equivalence contract as ``_sample_centroids``). Batches are
+re-accumulated to BATCH_ROWS inside the kernel so the session's Arrow
+batch-size conf (sized for multi-MB media rows) does not fragment the
+numeric path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+BATCH_ROWS = 8192  # re-accumulation target inside kernels
+
+
+def _vec_matrix(arr: "pa.Array", dim: int) -> np.ndarray:
+    """list<float|double> Arrow column -> (n, dim) float64, exactly."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        if not np.all(np.diff(offsets) == dim):
+            raise ValueError("ragged embedding column")
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        if arr.offset != 0 or len(flat) != len(arr) * dim:
+            flat = flat[offsets[0] : offsets[-1]]
+        return flat.astype(np.float64, copy=False).reshape(len(arr), dim)
+    raise TypeError(f"unexpected Arrow type {arr.type}")
+
+
+def ordered_dot_matrix(C: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(nc, nq) dot products with the JVM fold order: for j ascending,
+    acc += C[:, j] * Q[:, j] — one rounding per multiply, one per add."""
+    nc, d = C.shape
+    nq = Q.shape[0]
+    acc = np.zeros((nc, nq), dtype=np.float64)
+    tmp = np.empty((nc, nq), dtype=np.float64)
+    for j in range(d):
+        np.multiply(C[:, j : j + 1], Q[None, :, j], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def ordered_sqnorm(V: np.ndarray) -> np.ndarray:
+    """fold acc + v[j]*v[j], j ascending — the JVM ``norm`` body pre-sqrt."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return acc
+
+
+def ordered_pair_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """row-wise dot over paired rows (n, d)x(n, d) -> (n,), JVM fold order."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
+def _topk_value_mask(scores: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask (same shape as ``scores``, queries on axis 1) keeping,
+    per column, every entry >= the k-th largest value plus every NaN —
+    a superset of any (value desc, tiebreak) top-k. Entries equal to
+    -inf (used as 'excluded') never pass: genuine cosines/dots are finite
+    or NaN, never -inf."""
+    nc, nq = scores.shape
+    if nc <= k:
+        mask = np.ones_like(scores, dtype=bool)
+    else:
+        # NaN sorts to the top in np.partition? No: NaN sorts LAST in
+        # numpy. Replace NaN with +inf for threshold selection so NaN
+        # rows both (a) occupy top-k slots as Spark's ordering gives
+        # them and (b) are kept by the final isnan mask.
+        clean = np.where(np.isnan(scores), np.inf, scores)
+        kth = np.partition(clean, nc - k, axis=0)[nc - k]
+        mask = (clean >= kth[None, :]) & np.isfinite(scores) | np.isnan(scores)
+    mask &= scores != -np.inf
+    return mask
+
+
+def _rebatch(iterator, columns):
+    """Yield dict-of-arrays chunks of ~BATCH_ROWS rows from an Arrow
+    RecordBatch iterator (undoing the session's tiny media-sized Arrow
+    batches for this numeric path)."""
+    def _flush(buf):
+        tbl = pa.Table.from_batches(buf)
+        out = {}
+        for c in columns:
+            col = tbl.column(c)
+            out[c] = (
+                col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+            )
+        return out
+
+    buf: list[pa.RecordBatch] = []
+    n = 0
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        buf.append(batch)
+        n += batch.num_rows
+        if n >= BATCH_ROWS:
+            yield _flush(buf)
+            buf, n = [], 0
+    if buf:
+        yield _flush(buf)
+
+
+def brute_cosine_candidates(
+    corpus: DataFrame,
+    q_ids: list[int],
+    q_vecs: list[list[float]],
+    k: int,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cvec",
+) -> DataFrame:
+    """Per-batch top-k candidate (query_id, neighbor_id, cos) rows for the
+    brute-force cosine path: corpus-linear scan, queries broadcast via the
+    task closure (bounded, the broadcast-equivalent contract). ``cos`` is
+    the bit-exact double the JVM expression would produce; the caller's
+    window (cos desc, neighbor_id) finishes the ranking."""
+    spark = corpus.sparkSession
+    dim = len(q_vecs[0]) if q_vecs else 0
+    qi = np.asarray(q_ids, dtype=np.int64)
+    Q = np.asarray(q_vecs, dtype=np.float64)
+    qn = np.sqrt(ordered_sqnorm(Q)) if len(q_vecs) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((qi, Q, qn))
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("neighbor_id", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def fn(iterator):
+        qi_, Q_, qn_ = bc.value
+        nq = len(qi_)
+        if nq == 0:
+            return
+        for cols in _rebatch(iterator, (id_col, vec_col)):
+            nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            C = _vec_matrix(cols[vec_col], dim)
+            dots = ordered_dot_matrix(C, Q_)
+            cn = np.sqrt(ordered_sqnorm(C))
+            den = cn[:, None] * qn_[None, :]
+            cos = dots / den
+            # self-pairs are excluded before ranking in the JVM plan
+            cos[nid[:, None] == qi_[None, :]] = -np.inf
+            mask = _topk_value_mask(cos, k)
+            rows, qcols = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi_[qcols], type=pa.int64()),
+                    pa.array(nid[rows], type=pa.int64()),
+                    pa.array(cos[rows, qcols], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        fn, "query_id long, neighbor_id long, cos double"
+    )
+
+
+def bucket_cosine_candidates(
+    corpus: DataFrame,
+    probe_map: dict[int, list[int]],
+    q_ids: list[int],
+    q_vecs: list[list[float]],
+    k: int,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cvec",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Candidate (query_id, neighbor_id, cos) rows for bucketed ANN paths
+    (LSH / IVF): each corpus row is scored against exactly the queries
+    whose probe set contains its bucket — the same pair set the JVM
+    bucket-equi-join produced, without shuffling or replicating anything.
+    Emits per-batch per-query top-k supersets; final ranking in the JVM."""
+    spark = corpus.sparkSession
+    dim = len(q_vecs[0]) if q_vecs else 0
+    qi = np.asarray(q_ids, dtype=np.int64)
+    Q = np.asarray(q_vecs, dtype=np.float64)
+    qn = np.sqrt(ordered_sqnorm(Q)) if len(q_vecs) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((probe_map, qi, Q, qn))
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("neighbor_id", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def fn(iterator):
+        pm, qi_, Q_, qn_ = bc.value
+        if len(qi_) == 0:
+            return
+        for cols in _rebatch(iterator, (id_col, vec_col, bucket_col)):
+            nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            bkt = cols[bucket_col].to_numpy(zero_copy_only=False)
+            C = _vec_matrix(cols[vec_col], dim)
+            cn = np.sqrt(ordered_sqnorm(C))
+            # expand to (row, query) candidate pairs
+            rows_l: list[np.ndarray] = []
+            qs_l: list[np.ndarray] = []
+            for r, b in enumerate(bkt):
+                qlist = pm.get(int(b))
+                if qlist:
+                    rows_l.append(np.full(len(qlist), r, dtype=np.int64))
+                    qs_l.append(np.asarray(qlist, dtype=np.int64))
+            if not rows_l:
+                continue
+            rows = np.concatenate(rows_l)
+            qidx = np.concatenate(qs_l)
+            pair_dot = ordered_pair_dot(C[rows], Q_[qidx])
+            cos = pair_dot / (qn_[qidx] * cn[rows])
+            keep_self = nid[rows] != qi_[qidx]
+            # per-query top-k superset among this batch's pairs
+            emit = np.zeros(len(rows), dtype=bool)
+            for q in np.unique(qidx):
+                sel = (qidx == q) & keep_self
+                vals = cos[sel]
+                if len(vals) <= k:
+                    emit |= sel
+                    continue
+                clean = np.where(np.isnan(vals), np.inf, vals)
+                kth = np.partition(clean, len(vals) - k)[len(vals) - k]
+                good = (clean >= kth) | np.isnan(vals)
+                idx = np.nonzero(sel)[0]
+                emit[idx[good]] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi_[qidx[emit]], type=pa.int64()),
+                    pa.array(nid[rows[emit]], type=pa.int64()),
+                    pa.array(cos[emit], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return corpus.select(id_col, vec_col, bucket_col).mapInArrow(
+        fn, "query_id long, neighbor_id long, cos double"
+    )
+
+
+def cell_scores_raw(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id_col, vec_col, sc_raw array<double>) — the UNROUNDED cosine of
+    each row against each centroid, in the exact doubles the JVM
+    ``cosine`` expression yields. The caller applies the JVM's
+    ``F.round(.,4)`` + argmax on top, so the cell-assignment DECISION is
+    made by the same engine arithmetic as before."""
+    spark = corpus.sparkSession
+    CC = np.asarray(cents, dtype=np.float64)
+    cn = np.sqrt(ordered_sqnorm(CC))
+    dim = CC.shape[1]
+    bc = spark.sparkContext.broadcast((CC, cn))
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def fn(iterator):
+        CC_, cn_ = bc.value
+        for cols in _rebatch(iterator, (id_col, vec_col)):
+            V = _vec_matrix(cols[vec_col], dim)
+            vn = np.sqrt(ordered_sqnorm(V))
+            dots = ordered_dot_matrix(V, CC_)  # (n, ncent)
+            # JVM: cosine(vec, c) = dot / (norm(vec) * norm(c))
+            sc = dots / (vn[:, None] * cn_[None, :])
+            n, ncent = sc.shape
+            offsets = pa.array(
+                np.arange(0, (n + 1) * ncent, ncent, dtype=np.int32), pa.int32()
+            )
+            sc_col = pa.ListArray.from_arrays(
+                offsets, pa.array(sc.ravel(), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols[id_col], cols[vec_col], sc_col],
+                names=[id_col, vec_col, "sc_raw"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        fn, f"{id_col} long, {vec_col} {vec_type}, sc_raw array<double>"
+    )
+
+
+def plane_matrix(bits: int, dim: int, seed: int, mult: int, stride: int) -> np.ndarray:
+    """(bits, dim) hyperplane weights — the exact doubles of
+    similarity._plane_weight: integer Knuth mix (exact in Python ints),
+    then the same two float ops (divide, subtract), each one IEEE
+    rounding, identical to the JVM expression."""
+    W = np.empty((bits, dim), dtype=np.float64)
+    for b in range(bits):
+        for i in range(dim):
+            h = ((i + 1) * (mult + b * stride) + seed) % 2147483647
+            W[b, i] = (h % 2000003) / 1000001.5 - 1.0
+    return W
+
+
+def lsh_bucket_np(V: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Random-hyperplane signatures for rows of V: projection fold in the
+    JVM's element order (for each dim j ascending: acc_b += v[j] * w[b,j]),
+    bit b set iff proj_b > 0 — a raw-float sign DECISION, identical in any
+    IEEE engine, no rounding involved."""
+    n, d = V.shape
+    bits = W.shape[0]
+    proj = np.zeros((n, bits), dtype=np.float64)
+    tmp = np.empty((n, bits), dtype=np.float64)
+    for j in range(d):
+        np.multiply(V[:, j : j + 1], W[None, :, j], out=tmp)
+        np.add(proj, tmp, out=proj)
+    pow2 = (1 << np.arange(bits, dtype=np.int64))
+    return ((proj > 0) * pow2[None, :]).sum(axis=1, dtype=np.int64)
+
+
+def lsh_bucket_frame(
+    corpus: DataFrame,
+    bits: int,
+    seed: int,
+    mult: int,
+    stride: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, vec, bucket) — the vector-signature row, kernel-computed.
+    Bit-identical to the JVM lsh_signature fold (see lsh_bucket_np)."""
+    dtypes = dict(corpus.dtypes)
+    schema = f"{id_col} long, {vec_col} {dtypes[vec_col]}, bucket long"
+
+    def fn(iterator):
+        W = None
+        for cols in _rebatch(iterator, (id_col, vec_col)):
+            first = cols[vec_col]
+            offs = first.offsets.to_numpy(zero_copy_only=False)
+            dim = int(offs[1] - offs[0])
+            if W is None:
+                W = plane_matrix(bits, dim, seed, mult, stride)
+            V = _vec_matrix(first, dim)
+            bkt = lsh_bucket_np(V, W)
+            yield pa.RecordBatch.from_arrays(
+                [cols[id_col], cols[vec_col], pa.array(bkt, type=pa.int64())],
+                names=[id_col, vec_col, "bucket"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(fn, schema)
+
+
+def lsh_cosine_candidates(
+    corpus: DataFrame,
+    probe_map: dict[int, list[int]],
+    q_ids: list[int],
+    q_vecs: list[list[float]],
+    k: int,
+    bits: int,
+    seed: int,
+    mult: int,
+    stride: int,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cvec",
+) -> DataFrame:
+    """Fused LSH ANN pass: per corpus batch, compute each row's signature
+    bucket (raw-sign decision, lsh_bucket_np) and score it against exactly
+    the queries whose multiprobe set contains that bucket — the same pair
+    set the old signature-projection + broadcast bucket-join produced, in
+    ONE corpus-linear kernel with no join or corpus-side shuffle at all.
+    Emits per-batch per-query top-k candidate supersets (see
+    _topk_value_mask); the final window stays JVM."""
+    spark = corpus.sparkSession
+    dim = len(q_vecs[0]) if q_vecs else 0
+    qi = np.asarray(q_ids, dtype=np.int64)
+    Q = np.asarray(q_vecs, dtype=np.float64)
+    qn = np.sqrt(ordered_sqnorm(Q)) if len(q_vecs) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((probe_map, qi, Q, qn))
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("neighbor_id", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def fn(iterator):
+        pm, qi_, Q_, qn_ = bc.value
+        if len(qi_) == 0:
+            return
+        W = plane_matrix(bits, dim, seed, mult, stride)
+        for cols in _rebatch(iterator, (id_col, vec_col)):
+            nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            C = _vec_matrix(cols[vec_col], dim)
+            bkt = lsh_bucket_np(C, W)
+            cn = np.sqrt(ordered_sqnorm(C))
+            rows_l: list[np.ndarray] = []
+            qs_l: list[np.ndarray] = []
+            for r, b in enumerate(bkt):
+                qlist = pm.get(int(b))
+                if qlist:
+                    rows_l.append(np.full(len(qlist), r, dtype=np.int64))
+                    qs_l.append(np.asarray(qlist, dtype=np.int64))
+            if not rows_l:
+                continue
+            rows = np.concatenate(rows_l)
+            qidx = np.concatenate(qs_l)
+            pair_dot = ordered_pair_dot(C[rows], Q_[qidx])
+            cos = pair_dot / (qn_[qidx] * cn[rows])
+            keep_self = nid[rows] != qi_[qidx]
+            emit = np.zeros(len(rows), dtype=bool)
+            for q in np.unique(qidx):
+                sel = (qidx == q) & keep_self
+                vals = cos[sel]
+                if len(vals) <= k:
+                    emit |= sel
+                    continue
+                clean = np.where(np.isnan(vals), np.inf, vals)
+                kth = np.partition(clean, len(vals) - k)[len(vals) - k]
+                good = (clean >= kth) | np.isnan(vals)
+                idx = np.nonzero(sel)[0]
+                emit[idx[good]] = True
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qi_[qidx[emit]], type=pa.int64()),
+                    pa.array(nid[rows[emit]], type=pa.int64()),
+                    pa.array(cos[emit], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        fn, "query_id long, neighbor_id long, cos double"
+    )
+
+
+def pq_ds_raw(
+    corpus: DataFrame,
+    cb_vecs: list[list[list[float]]],
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, [keep_cols...,] ds_raw array<array<double>>) — the
+    UNROUNDED fixed-point distance table ``s * PQ_SCALE`` of each row's
+    subspace j against codebook entry c, in the exact doubles the JVM
+    ``_pq_sqd_q`` fold yields (diff, square, add — one rounding each, in
+    element order; then one multiply by the scale). The caller applies the
+    JVM ``F.round(...)`` + argmin on top, so the CODE decision is made by
+    the same engine arithmetic as before."""
+    spark = corpus.sparkSession
+    CB = np.asarray(cb_vecs, dtype=np.float64)  # (m, ksub, dsub)
+    ksub = CB.shape[1]
+    bc = spark.sparkContext.broadcast(CB)
+    dtypes = dict(corpus.dtypes)
+    in_cols = (id_col, vec_col) + tuple(keep_cols)
+    out_cols = (id_col,) + tuple(keep_cols)
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in out_cols)
+    schema += ", ds_raw array<array<double>>"
+
+    def fn(iterator):
+        CB_ = bc.value
+        scale = 10000.0
+        for cols in _rebatch(iterator, in_cols):
+            V = _vec_matrix(cols[vec_col], m * dsub)
+            n = V.shape[0]
+            ds = np.empty((n, m, ksub), dtype=np.float64)
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                for c in range(ksub):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(dsub):
+                        diff = sub[:, d] - CB_[j, c, d]
+                        acc += diff * diff
+                    ds[:, j, c] = acc * scale
+            inner_off = pa.array(
+                np.arange(0, (n * m + 1) * ksub, ksub, dtype=np.int32), pa.int32()
+            )
+            inner = pa.ListArray.from_arrays(
+                inner_off, pa.array(ds.ravel(), type=pa.float64())
+            )
+            outer_off = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32), pa.int32()
+            )
+            ds_col = pa.ListArray.from_arrays(outer_off, inner)
+            yield pa.RecordBatch.from_arrays(
+                [cols[c] for c in out_cols] + [ds_col],
+                names=list(out_cols) + ["ds_raw"],
+            )
+
+    return corpus.select(*in_cols).mapInArrow(fn, schema)
+
+
+def adc_candidates(
+    codes: DataFrame,
+    q_ids: list[int],
+    q_tables: list[list[list[int]]],
+    k: int,
+    m: int,
+    id_col: str = "neighbor_id",
+    codes_col: str = "codes",
+    bucket_probes: dict[int, list[int]] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Candidate (query_id, neighbor_id, adist_q) rows for the PQ ADC
+    paths: adist = sum_j dt[j][codes[j]] — EXACT int64 arithmetic, so no
+    float portability concern at all. With ``bucket_probes`` the pair set
+    is restricted to probed cells (the IVF-PQ composition); final ranking
+    (adist asc, neighbor_id asc) stays in the JVM window."""
+    spark = codes.sparkSession
+    qi = np.asarray(q_ids, dtype=np.int64)
+    # dt[q, j, c]
+    DT = np.asarray(q_tables, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qi, DT, bucket_probes))
+    sel_cols = [id_col, codes_col] + ([bucket_col] if bucket_probes is not None else [])
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("neighbor_id", pa.int64()),
+            pa.field("adist_q", pa.int64()),
+        ]
+    )
+
+    def fn(iterator):
+        qi_, DT_, probes = bc.value
+        nq = len(qi_)
+        if nq == 0:
+            return
+        for cols in _rebatch(iterator, tuple(sel_cols)):
+            nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            codes_arr = cols[codes_col]
+            if isinstance(codes_arr, pa.ChunkedArray):
+                codes_arr = codes_arr.combine_chunks()
+            offs = codes_arr.offsets.to_numpy(zero_copy_only=False)
+            flat = codes_arr.values.to_numpy(zero_copy_only=False)
+            if codes_arr.offset != 0 or len(flat) != len(codes_arr) * m:
+                flat = flat[offs[0] : offs[-1]]
+            CD = flat.astype(np.int64).reshape(len(codes_arr), m) - 1  # 1-based codes
+            nc = len(nid)
+            if probes is None:
+                # dense (nc, nq) ADC: sum over j of DT[q, j, CD[i, j]]
+                acc = np.zeros((nc, nq), dtype=np.int64)
+                for j in range(m):
+                    acc += DT_[:, j, :][:, CD[:, j]].T  # (nc, nq)
+                self_mask = nid[:, None] == qi_[None, :]
+                big = np.iinfo(np.int64).max
+                acc_m = np.where(self_mask, big, acc)
+                if nc <= k:
+                    mask = ~self_mask
+                else:
+                    kth = np.partition(acc_m, k - 1, axis=0)[k - 1]
+                    mask = (acc_m <= kth[None, :]) & ~self_mask
+                rows, qcols = np.nonzero(mask)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qi_[qcols], type=pa.int64()),
+                        pa.array(nid[rows], type=pa.int64()),
+                        pa.array(acc[rows, qcols], type=pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+            else:
+                bkt = cols[bucket_col].to_numpy(zero_copy_only=False)
+                rows_l: list[np.ndarray] = []
+                qs_l: list[np.ndarray] = []
+                for r, b in enumerate(bkt):
+                    qlist = probes.get(int(b))
+                    if qlist:
+                        rows_l.append(np.full(len(qlist), r, dtype=np.int64))
+                        qs_l.append(np.asarray(qlist, dtype=np.int64))
+                if not rows_l:
+                    continue
+                rows = np.concatenate(rows_l)
+                qidx = np.concatenate(qs_l)
+                acc = np.zeros(len(rows), dtype=np.int64)
+                for j in range(m):
+                    acc += DT_[qidx, j, CD[rows, j]]
+                keep_self = nid[rows] != qi_[qidx]
+                emit = np.zeros(len(rows), dtype=bool)
+                for q in np.unique(qidx):
+                    sel = (qidx == q) & keep_self
+                    vals = acc[sel]
+                    if len(vals) <= k:
+                        emit |= sel
+                        continue
+                    kth = np.partition(vals, k - 1)[k - 1]
+                    idx = np.nonzero(sel)[0]
+                    emit[idx[vals <= kth]] = True
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qi_[qidx[emit]], type=pa.int64()),
+                        pa.array(nid[rows[emit]], type=pa.int64()),
+                        pa.array(acc[emit], type=pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return codes.select(*sel_cols).mapInArrow(
+        fn, "query_id long, neighbor_id long, adist_q long"
+    )

@@ -55,7 +55,58 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (self excluded), deterministic
-    tiebreak on neighbor id. Result: (query_id, neighbor_id, cos_r, rank)."""
+    tiebreak on neighbor id. Result: (query_id, neighbor_id, cos_r, rank).
+
+    r6 optimization (guide §4.2): the |corpus| x |queries| cosine matrix
+    is computed by a NumPy mapInArrow kernel (fastpath.py) instead of a
+    crossJoin of per-pair JVM higher-order-function folds — measured
+    ~20x at sf1.0 (75 s -> under 4 s) with bit-identical doubles (the
+    kernel replays the exact fold order; see fastpath.py's contract).
+    The query side is collected to the driver — the same bounded
+    broadcast-equivalence as before (the old plan broadcast the full
+    query set to every task); the kernel emits per-batch per-query top-k
+    candidate SUPERSETS, and this JVM window keeps the final ranking —
+    and the rounding — exactly where it was."""
+    from .fastpath import brute_cosine_candidates
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )  # bounded: the query batch (broadcast-equivalent, as the old plan)
+    cand = brute_cosine_candidates(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        [r["query_id"] for r in q_rows],
+        [list(r["qvec"]) for r in q_rows],
+        k,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_r"),
+            "rank",
+        )
+    )
+
+
+def _cosine_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-r6 JVM-expression implementation of cosine_topk (crossJoin
+    + HOF cosine). Kept as the equivalence reference:
+    tests/test_fastpath.py pins cosine_topk == _cosine_topk_join to full
+    double precision."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
@@ -162,12 +213,22 @@ def ann_topk_lsh(
     vs the exact top-k roughly doubles over single-probe at depth 1 and
     again at depth 2 (tests/test_operators.py).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        lsh_signature(F.col(vec_col), bits).alias("bucket"),
-    )
-    sig = lsh_signature(F.col(vec_col), bits)
+    # r6 fastpath: ONE fused corpus-linear kernel computes each row's
+    # signature (raw-sign decision — no rounding anywhere in this family)
+    # and scores it against the queries multiprobing that bucket; the old
+    # plan's signature HOF fold + broadcast bucket-join disappear. Query
+    # signatures/probes are derived driver-side from the collected query
+    # batch with the identical fold (fastpath.lsh_bucket_np).
+    import numpy as np
+
+    from .fastpath import lsh_bucket_np, lsh_cosine_candidates, plane_matrix
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )  # bounded: the query batch (broadcast-equivalent, as the old plan)
+    ids = [r["query_id"] for r in q_rows]
+    vecs = [[float(x) for x in r["qvec"]] for r in q_rows]
     masks: list[int] = []
     if multiprobe:
         masks = [1 << b for b in range(bits)]
@@ -177,28 +238,31 @@ def ann_topk_lsh(
                 for b1 in range(bits)
                 for b2 in range(b1 + 1, bits)
             ]
-    probes = F.array(
-        sig, *[sig.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
-    )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(probes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(qs), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
+    pm: dict[int, list[int]] = {}
+    if ids:
+        W = plane_matrix(bits, len(vecs[0]), _PLANE_SEED, 2654435761, 40503)
+        sigs = lsh_bucket_np(np.asarray(vecs, dtype=np.float64), W)
+        for qix, s in enumerate(sigs):
+            for b in [int(s)] + [int(s) ^ m for m in masks]:
+                pm.setdefault(b, []).append(qix)
+    cand = lsh_cosine_candidates(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        pm,
+        ids,
+        vecs,
+        k,
+        bits,
+        _PLANE_SEED,
+        2654435761,
+        40503,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
     )
@@ -212,7 +276,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> DataFrame:  # noqa: D401 — r6: assign + probe scoring run on fastpath kernels
     """IVF-style ANN: partition the corpus into centroid cells, probe the
     nprobe nearest cells per query, exact re-rank inside them.
 
@@ -234,9 +298,9 @@ def ivf_topk(
     index asc); final rank is (cos desc, neighbor_id asc).
     """
     cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
-    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
-    corp = _assign_cells(corpus, cent_arr, id_col, vec_col)
-    return _probe_and_rank(corp, queries, cent_arr, len(cent_rows), k, nprobe,
+    cents = [[float(x) for x in r["cvec"]] for r in cent_rows]
+    corp = _assign_cells(corpus, cents, id_col, vec_col)
+    return _probe_and_rank(corp, queries, cents, len(cents), k, nprobe,
                            id_col, vec_col)
 
 
@@ -264,25 +328,45 @@ def _cell_scores(cent_arr: Column, vec: Column) -> Column:
     return F.transform(cent_arr, lambda c: F.round(cosine(vec, c), 4))
 
 
-def _assign_cells(corpus, cent_arr, id_col, vec_col) -> DataFrame:
-    """(neighbor_id, cvec, bucket) — one narrow cell id per corpus row."""
+def _assign_cells(corpus, cents, id_col, vec_col) -> DataFrame:
+    """(neighbor_id, cvec, bucket) — one narrow cell id per corpus row.
+
+    r6 fastpath: the 16-cosines-per-row fold runs in the NumPy kernel
+    (bit-exact raw doubles); the cell-assignment DECISION — F.round(.,4)
+    then first-argmax, the engine-rounding discipline the docstrings pin —
+    stays a JVM expression over the kernel's raw scores, so assignments
+    are unchanged bit-for-bit. ``cents`` is the plain nested list (the
+    collected sample), not a plan literal."""
+    from .fastpath import cell_scores_raw
+
+    raw = cell_scores_raw(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        cents,
+        "neighbor_id",
+        "cvec",
+    )
+    sc = F.transform(F.col("sc_raw"), lambda x: F.round(x, 4))
     return (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("sc", _cell_scores(cent_arr, F.col("cvec")))
+        raw.withColumn("sc", sc)
         .withColumn("bucket", F.array_position(F.col("sc"), F.array_max("sc")))
-        .drop("sc")
+        .select("neighbor_id", "cvec", "bucket")
     )
 
 
-def _probe_and_rank(corp, queries, cent_arr, n_centroids, k, nprobe,
-                    id_col, vec_col) -> DataFrame:
+def _query_probes(queries, cents, n_centroids, nprobe, id_col, vec_col) -> DataFrame:
+    """(query_id, qvec, bucket) — nprobe probe rows per query. Query-side
+    cell scoring stays a pure JVM expression (the query batch is small and
+    this keeps every rounded decision in engine arithmetic)."""
+    cent_arr = _centroid_literal(cents)
     qsc = F.transform(
         F.sequence(F.lit(1), F.lit(n_centroids)),
         lambda i: F.struct(
             (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
         ),
     )
-    qs = (
+    return (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .withColumn("sc", _cell_scores(cent_arr, F.col("qvec")))
         .withColumn(
@@ -295,20 +379,45 @@ def _probe_and_rank(corp, queries, cent_arr, n_centroids, k, nprobe,
         )
         .drop("sc")
     )
-    scored = (
-        corp.join(F.broadcast(qs), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
-        )
-    )
+
+
+def _collect_probe_map(qs: DataFrame):
+    """Collect a (query_id, qvec, bucket) probe frame into (ids, vecs,
+    {bucket: [query_index]}) — bounded by |queries| x nprobe rows, the
+    same broadcast-equivalence contract as the old F.broadcast(qs) join
+    side (which also held every probe row on every executor)."""
+    rows = qs.collect()
+    ids: list[int] = []
+    vecs: list[list[float]] = []
+    pos: dict[int, int] = {}
+    pm: dict[int, list[int]] = {}
+    for r in rows:
+        qid = r["query_id"]
+        if qid not in pos:
+            pos[qid] = len(ids)
+            ids.append(qid)
+            vecs.append([float(x) for x in r["qvec"]])
+        pm.setdefault(int(r["bucket"]), []).append(pos[qid])
+    return ids, vecs, pm
+
+
+def _probe_and_rank(corp, queries, cents, n_centroids, k, nprobe,
+                    id_col, vec_col) -> DataFrame:
+    """r6 fastpath: the probed-pair exact-cosine re-rank runs in the NumPy
+    kernel over the corpus side only (same pair set the old broadcast
+    bucket-join produced: each corpus row scores against exactly the
+    queries probing its cell); the final (cos desc, neighbor_id) window —
+    and the 4dp display round — stay JVM."""
+    from .fastpath import bucket_cosine_candidates
+
+    qs = _query_probes(queries, cents, n_centroids, nprobe, id_col, vec_col)
+    ids, vecs, pm = _collect_probe_map(qs)
+    cand = bucket_cosine_candidates(corp, pm, ids, vecs, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
     )
@@ -347,9 +456,7 @@ def kmeans_refine(
         for r in _sample_centroids(corpus, n_centroids, id_col, vec_col)
     ]
     for _ in range(iters):
-        assigned = _assign_cells(
-            corpus, _centroid_literal(cents), id_col, vec_col
-        )
+        assigned = _assign_cells(corpus, cents, id_col, vec_col)
         means = (
             assigned.select(
                 "bucket", F.posexplode(F.col("cvec").cast("array<double>")).alias("pos", "val")
@@ -382,10 +489,9 @@ def ivf_topk_kmeans(
     identical probe/re-rank machinery, better-shaped cells (measured in
     tools/ann_recall.py). Same output contract as ivf_topk."""
     cents = kmeans_refine(corpus, n_centroids, iters, id_col, vec_col)
-    cent_arr = _centroid_literal(cents)
-    corp = _assign_cells(corpus, cent_arr, id_col, vec_col)
+    corp = _assign_cells(corpus, cents, id_col, vec_col)
     return _probe_and_rank(
-        corp, queries, cent_arr, len(cents), k, nprobe, id_col, vec_col
+        corp, queries, cents, len(cents), k, nprobe, id_col, vec_col
     )
 
 
@@ -416,17 +522,18 @@ def ivf_build_index(
         "bucket: long, cvec: array<double>",
     )
     write_table(cent_df, index_path, "centroids")
-    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
+    cents = [[float(x) for x in r["cvec"]] for r in cent_rows]
     append_snapshot(
-        _assign_cells(corpus, cent_arr, id_col, vec_col), index_path, "assignments"
+        _assign_cells(corpus, cents, id_col, vec_col), index_path, "assignments"
     )
 
 
 def _load_centroids(spark, index_path: str):
+    """-> (cents nested list, n_centroids) in bucket order."""
     from ..sources.tables import read_table
 
     rows = read_table(spark, index_path, "centroids").orderBy("bucket").collect()
-    return _centroid_literal([r["cvec"] for r in rows]), len(rows)
+    return [[float(x) for x in r["cvec"]] for r in rows], len(rows)
 
 
 def ivf_append_index(
@@ -440,9 +547,9 @@ def ivf_append_index(
     live snapshots). No prior row is touched or recomputed."""
     from ..sources.tables import append_snapshot
 
-    cent_arr, _ = _load_centroids(new_vectors.sparkSession, index_path)
+    cents, _ = _load_centroids(new_vectors.sparkSession, index_path)
     append_snapshot(
-        _assign_cells(new_vectors, cent_arr, id_col, vec_col),
+        _assign_cells(new_vectors, cents, id_col, vec_col),
         index_path,
         "assignments",
     )
@@ -462,9 +569,25 @@ def ivf_query_index(
     centroids are a <=n_centroids-row collect (broadcast-equivalent)."""
     from ..sources.tables import read_table
 
-    cent_arr, n = _load_centroids(spark, index_path)
+    cents, n = _load_centroids(spark, index_path)
     corp = read_table(spark, index_path, "assignments")
-    return _probe_and_rank(corp, queries, cent_arr, n, k, nprobe, id_col, vec_col)
+    # probe selection happens first (driver-side, bounded), so the probed
+    # bucket set can be PUSHED DOWN into the assignments scan — unprobed
+    # cells are never read (r6; guide §6: predicate pushdown to the scan)
+    from .fastpath import bucket_cosine_candidates
+
+    qs = _query_probes(queries, cents, n, nprobe, id_col, vec_col)
+    ids, vecs, pm = _collect_probe_map(qs)
+    corp = corp.filter(F.col("bucket").isin(list(pm.keys())))
+    cand = bucket_cosine_candidates(corp, pm, ids, vecs, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank")
+    )
 
 
 def vector_signatures(
@@ -477,11 +600,18 @@ def vector_signatures(
     state-keeping pipeline materializes (materialize_vector_signatures) so
     a later INCREMENTAL run (incremental_cosine_neardup) judges next
     week's embedding batch without re-hashing the corpus — the embedding
-    sibling of dedup.minhash_signatures."""
-    return corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), bits).alias("bucket"),
+    sibling of dedup.minhash_signatures. r6: the signature fold runs in
+    the fastpath kernel (raw-sign decisions — bit-identical buckets)."""
+    from .fastpath import lsh_bucket_frame
+
+    return lsh_bucket_frame(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        bits,
+        _PLANE_SEED,
+        2654435761,
+        40503,
+        "id",
+        "vec",
     )
 
 
@@ -769,22 +899,54 @@ def _pq_ds_expr(vec: Column, cb: Column, m: int, dsub: int) -> Column:
     )
 
 
+def _cb_nested(vecs, m: int, dsub: int) -> list[list[list[float]]]:
+    """cb[j][c] = subspace-j slice of sampled vector c, as plain lists."""
+    return [
+        [[float(x) for x in v[j * dsub : (j + 1) * dsub]] for v in vecs]
+        for j in range(m)
+    ]
+
+
+def _cb_literal(cb_vecs) -> Column:
+    """Plan literal from the nested codebook list (query-side JVM expr)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cc]) for cc in row])
+            for row in cb_vecs
+        ]
+    )
+
+
 def _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col):
-    """(codebook literal, dsub, sample rows) from the deterministic
-    min-hash corpus sample — ksub rows to the driver, same contract as
-    IVF's _sample_centroids."""
+    """(nested codebook list cb[j][c][d], dsub, sample rows) from the
+    deterministic min-hash corpus sample — ksub rows to the driver, same
+    contract as IVF's _sample_centroids."""
     sample = _sample_centroids(corpus, ksub, id_col, vec_col)
     d = len(sample[0]["cvec"])
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
     vecs = [[float(x) for x in r["cvec"]] for r in sample]
-    return _pq_codebook_literal(vecs, m, dsub), dsub, vecs
+    return _cb_nested(vecs, m, dsub), dsub, vecs
+
+
+def _codes_from_ds_raw() -> Column:
+    """JVM decision layer over the kernel's raw distance tables: round
+    into fixed-point longs (the engine's own F.round, exactly as
+    _pq_sqd_q did) and take the FIRST argmin per subspace."""
+    return F.transform(
+        F.col("ds_raw"),
+        lambda dj: _first_argmin(F.transform(dj, lambda x: F.round(x).cast("long"))),
+    )
+
+
+def _first_argmin(arr: Column) -> Column:
+    return F.array_position(arr, F.array_min(arr)).cast("int")
 
 
 def pq_encode(
     corpus: DataFrame,
-    cb: Column,
+    cb_vecs,
     m: int,
     dsub: int,
     id_col: str = "vec_id",
@@ -792,43 +954,52 @@ def pq_encode(
 ) -> DataFrame:
     """(neighbor_id, codes array<int>[m]) — the compressed corpus. codes[j]
     is the FIRST argmin over subspace j's codebook (integer distances, so
-    the tiebreak is exact in every engine)."""
-    v = F.col(vec_col).cast("array<double>")
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(
-            _pq_ds_expr(v, cb, m, dsub),
-            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
-        ).alias("codes"),
+    the tiebreak is exact in every engine).
+
+    r6 fastpath: the m x ksub squared-L2 folds per row run in the NumPy
+    kernel (raw doubles, exact fold order); the fixed-point round and the
+    argmin DECISION stay JVM expressions — codes unchanged bit-for-bit."""
+    from .fastpath import pq_ds_raw
+
+    raw = pq_ds_raw(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        cb_vecs,
+        m,
+        dsub,
+        "neighbor_id",
+        "_v",
     )
+    return raw.select("neighbor_id", _codes_from_ds_raw().alias("codes"))
 
 
 def _pq_adc_rank(codes: DataFrame, qdt: DataFrame, m: int, k: int) -> DataFrame:
     """ADC scoring + top-k: approx distance = sum_j dt[j][codes[j]], an
-    exact bigint sum of m table lookups per (query, corpus-row) pair. The
-    query side (with its distance tables) broadcasts; the codes scan is
-    the only corpus-sized work."""
-    scored = (
-        codes.join(F.broadcast(qdt))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
-                ),
-            ).alias("adist_q"),
-        )
+    exact bigint sum of m table lookups per (query, corpus-row) pair.
+
+    r6 fastpath: the per-pair lookup-sum runs in the NumPy kernel as
+    int64 gathers (EXACT integer arithmetic — no float portability
+    surface at all); per-batch top-k candidate supersets come back and
+    the final (adist asc, neighbor_id asc) window stays JVM. The query
+    distance tables are collected — bounded by the query batch, the same
+    broadcast-equivalence as the old F.broadcast(qdt)."""
+    from .fastpath import adc_candidates
+
+    q_rows = qdt.collect()  # bounded: |queries| rows of m x ksub ints
+    cand = adc_candidates(
+        codes,
+        [r["query_id"] for r in q_rows],
+        [[list(dj) for dj in r["dt"]] for r in q_rows],
+        k,
+        m,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_q").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
@@ -848,12 +1019,12 @@ def pq_topk(
 
     Result: (query_id, neighbor_id, adist_q, rank) where adist_q is the
     fixed-point approximate squared L2 (PQ_SCALE = 4 dp)."""
-    cb, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
-    codes = pq_encode(corpus, cb, m, dsub, id_col, vec_col)
+    cb_vecs, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    codes = pq_encode(corpus, cb_vecs, m, dsub, id_col, vec_col)
     qv = F.col(vec_col).cast("array<double>")
     qdt = queries.select(
         F.col(id_col).alias("query_id"),
-        _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+        _pq_ds_expr(qv, _cb_literal(cb_vecs), m, dsub).alias("dt"),
     )
     return _pq_adc_rank(codes, qdt, m, k)
 
@@ -876,7 +1047,7 @@ def pq_build_index(
     from ..sources.tables import append_snapshot, write_table
 
     spark = corpus.sparkSession
-    cb, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    cb_vecs, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
     cb_df = spark.createDataFrame(
         [
             (j + 1, c + 1, v[j * dsub : (j + 1) * dsub])
@@ -886,23 +1057,22 @@ def pq_build_index(
         "j: int, c: int, cvec: array<double>",
     )
     write_table(cb_df, index_path, "codebooks")
-    append_snapshot(pq_encode(corpus, cb, m, dsub, id_col, vec_col),
+    append_snapshot(pq_encode(corpus, cb_vecs, m, dsub, id_col, vec_col),
                     index_path, "codes")
 
 
 def _pq_load_codebooks(spark, index_path: str):
+    """-> (nested cb[j][c][d] list, m, dsub)."""
     from ..sources.tables import read_table
 
     rows = read_table(spark, index_path, "codebooks").orderBy("j", "c").collect()
     m = max(r["j"] for r in rows)
     ksub = max(r["c"] for r in rows)
     dsub = len(rows[0]["cvec"])
-    by_c = [[0.0] * (m * dsub) for _ in range(ksub)]
+    cb = [[[0.0] * dsub for _ in range(ksub)] for _ in range(m)]
     for r in rows:
-        by_c[r["c"] - 1][(r["j"] - 1) * dsub : r["j"] * dsub] = [
-            float(x) for x in r["cvec"]
-        ]
-    return _pq_codebook_literal(by_c, m, dsub), m, dsub
+        cb[r["j"] - 1][r["c"] - 1] = [float(x) for x in r["cvec"]]
+    return cb, m, dsub
 
 
 def pq_append_index(
@@ -915,9 +1085,9 @@ def pq_append_index(
     snapshot-append the codes — |new|-sized, no prior row touched."""
     from ..sources.tables import append_snapshot
 
-    cb, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
+    cb_vecs, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
     append_snapshot(
-        pq_encode(new_vectors, cb, m, dsub, id_col, vec_col), index_path, "codes"
+        pq_encode(new_vectors, cb_vecs, m, dsub, id_col, vec_col), index_path, "codes"
     )
 
 
@@ -935,12 +1105,12 @@ def pq_query_index(
     when the index was built from the same corpus."""
     from ..sources.tables import read_table
 
-    cb, m, dsub = _pq_load_codebooks(spark, index_path)
+    cb_vecs, m, dsub = _pq_load_codebooks(spark, index_path)
     codes = read_table(spark, index_path, "codes")
     qv = F.col(vec_col).cast("array<double>")
     qdt = queries.select(
         F.col(id_col).alias("query_id"),
-        _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+        _pq_ds_expr(qv, _cb_literal(cb_vecs), m, dsub).alias("dt"),
     )
     return _pq_adc_rank(codes, qdt, m, k)
 
@@ -975,24 +1145,46 @@ def ivfpq_topk(
     engine-portable oracle; the composition and plan shape are identical.
     """
     cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
-    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
-    cb, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    cents = [[float(x) for x in r["cvec"]] for r in cent_rows]
+    cb_vecs, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
 
     # corpus side: one narrow (neighbor_id, bucket, codes) row per vector —
     # cell assignment identical to ivf_topk's, codes identical to pq_topk's
-    corp = _assign_cells(corpus, cent_arr, id_col, vec_col).select(
-        "neighbor_id",
-        "bucket",
-        F.transform(
-            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
-            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
-        ).alias("codes"),
-    )
+    # (r6: both heavy folds run in the fastpath kernels; the rounded
+    # argmax/argmin decisions stay JVM — see _assign_cells / pq_encode)
+    corp = _ivfpq_cells(corpus, cents, cb_vecs, m, dsub, id_col, vec_col)
+    return _ivfpq_adc_rank(corp, queries, cents, cb_vecs, m, dsub,
+                           len(cents), k, nprobe, id_col, vec_col)
 
-    # query side: nprobe probed buckets + the ADC distance table, broadcast
+
+def _ivfpq_cells(corpus, cents, cb_vecs, m, dsub, id_col, vec_col) -> DataFrame:
+    """(neighbor_id, bucket, codes) — the composed corpus row, fused into
+    one kernel pipeline: cell scores + subspace distance tables in NumPy,
+    bucket (rounded argmax) and codes (rounded argmin) as JVM decisions."""
+    from .fastpath import pq_ds_raw
+
+    assigned = _assign_cells(corpus, cents, id_col, vec_col).select(
+        "neighbor_id", "bucket", F.col("cvec").cast("array<double>").alias("_v")
+    )
+    raw = pq_ds_raw(
+        assigned, cb_vecs, m, dsub, "neighbor_id", "_v", keep_cols=("bucket",)
+    )
+    return raw.select("neighbor_id", "bucket", _codes_from_ds_raw().alias("codes"))
+
+
+def _ivfpq_adc_rank(corp, queries, cents, cb_vecs, m, dsub, n_centroids,
+                    k, nprobe, id_col, vec_col, prefilter_buckets=False):
+    """Probe-restricted ADC top-k (r6 kernel path): query probes + distance
+    tables are computed JVM-side and collected (bounded by the query
+    batch, as the old F.broadcast(qs)); the kernel scores each corpus row
+    against exactly the queries probing its cell in exact int64; the final
+    window stays JVM."""
+    from .fastpath import adc_candidates
+
     qv = F.col(vec_col).cast("array<double>")
+    cent_arr = _centroid_literal(cents)
     qsc = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        F.sequence(F.lit(1), F.lit(n_centroids)),
         lambda i: F.struct(
             (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
         ),
@@ -1001,7 +1193,7 @@ def ivfpq_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             _cell_scores(cent_arr, qv).alias("sc"),
-            _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
+            _pq_ds_expr(qv, _cb_literal(cb_vecs), m, dsub).alias("dt"),
         )
         .withColumn(
             "bucket",
@@ -1014,27 +1206,28 @@ def ivfpq_topk(
         )
         .drop("sc")
     )
-    scored = (
-        corp.join(F.broadcast(qs), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
-                ),
-            ).alias("adist_q"),
-        )
+    rows = qs.collect()  # bounded: |queries| x nprobe probe rows
+    ids: list[int] = []
+    tables: list = []
+    pos: dict[int, int] = {}
+    pm: dict[int, list[int]] = {}
+    for r in rows:
+        qid = r["query_id"]
+        if qid not in pos:
+            pos[qid] = len(ids)
+            ids.append(qid)
+            tables.append([list(dj) for dj in r["dt"]])
+        pm.setdefault(int(r["bucket"]), []).append(pos[qid])
+    if prefilter_buckets:
+        corp = corp.filter(F.col("bucket").isin(list(pm.keys())))
+    cand = adc_candidates(
+        corp, ids, tables, k, m, codes_col="codes", bucket_probes=pm
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_q").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
@@ -1068,7 +1261,7 @@ def ivfpq_build_index(
         "bucket: long, cvec: array<double>",
     )
     write_table(cent_df, index_path, "centroids")
-    cb, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    cb_vecs, dsub, vecs = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
     cb_df = spark.createDataFrame(
         [
             (j + 1, c + 1, v[j * dsub : (j + 1) * dsub])
@@ -1078,15 +1271,8 @@ def ivfpq_build_index(
         "j: int, c: int, cvec: array<double>",
     )
     write_table(cb_df, index_path, "codebooks")
-    cent_arr = _centroid_literal([r["cvec"] for r in cent_rows])
-    cells = _assign_cells(corpus, cent_arr, id_col, vec_col).select(
-        "neighbor_id",
-        "bucket",
-        F.transform(
-            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
-            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
-        ).alias("codes"),
-    )
+    cents = [[float(x) for x in r["cvec"]] for r in cent_rows]
+    cells = _ivfpq_cells(corpus, cents, cb_vecs, m, dsub, id_col, vec_col)
     append_snapshot(cells, index_path, "cells", stats_cols=["neighbor_id"])
 
 
@@ -1103,16 +1289,9 @@ def ivfpq_append_index(
     table)."""
     from ..sources.tables import append_snapshot
 
-    cent_arr, _ = _load_centroids(new_vectors.sparkSession, index_path)
-    cb, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
-    cells = _assign_cells(new_vectors, cent_arr, id_col, vec_col).select(
-        "neighbor_id",
-        "bucket",
-        F.transform(
-            _pq_ds_expr(F.col("cvec").cast("array<double>"), cb, m, dsub),
-            lambda dj: F.array_position(dj, F.array_min(dj)).cast("int"),
-        ).alias("codes"),
-    )
+    cents, _ = _load_centroids(new_vectors.sparkSession, index_path)
+    cb_vecs, m, dsub = _pq_load_codebooks(new_vectors.sparkSession, index_path)
+    cells = _ivfpq_cells(new_vectors, cents, cb_vecs, m, dsub, id_col, vec_col)
     append_snapshot(cells, index_path, "cells", stats_cols=["neighbor_id"])
 
 
@@ -1132,57 +1311,13 @@ def ivfpq_query_index(
     pipeline when the index was built from the same corpus."""
     from ..sources.tables import read_table
 
-    cent_arr, n_centroids = _load_centroids(spark, index_path)
-    cb, m, dsub = _pq_load_codebooks(spark, index_path)
+    cents, n_centroids = _load_centroids(spark, index_path)
+    cb_vecs, m, dsub = _pq_load_codebooks(spark, index_path)
     cells = read_table(spark, index_path, "cells")
-    qv = F.col(vec_col).cast("array<double>")
-    qsc = F.transform(
-        F.sequence(F.lit(1), F.lit(n_centroids)),
-        lambda i: F.struct(
-            (-F.element_at(F.col("sc"), i)).alias("negs"), i.alias("idx")
-        ),
-    )
-    qs = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _cell_scores(cent_arr, qv).alias("sc"),
-            _pq_ds_expr(qv, cb, m, dsub).alias("dt"),
-        )
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(qsc), 1, nprobe),
-                    lambda p: p["idx"].cast("long"),
-                )
-            ),
-        )
-        .drop("sc")
-    )
-    scored = (
-        cells.join(F.broadcast(qs), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.element_at(F.col("dt"), j), F.element_at(F.col("codes"), j)
-                ),
-            ).alias("adist_q"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist_q").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adist_q", "rank")
-    )
+    # probed-bucket prefilter pushes down into the cells scan (guide §6)
+    return _ivfpq_adc_rank(cells, queries, cents, cb_vecs, m, dsub,
+                           n_centroids, k, nprobe, id_col, vec_col,
+                           prefilter_buckets=True)
 
 
 def semdedup(

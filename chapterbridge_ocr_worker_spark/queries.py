@@ -2183,15 +2183,11 @@ def _kmeans_cte_sql(
     "bit-exactly by the unrolled SQL twin",
 )
 def emb_kmeans_q(spark, sf_dir):
-    from .operators.similarity import (
-        _assign_cells,
-        _centroid_literal,
-        kmeans_refine,
-    )
+    from .operators.similarity import _assign_cells, kmeans_refine
 
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_refine(emb, n_centroids=16, iters=2)
-    assigned = _assign_cells(emb, _centroid_literal(cents), "vec_id", "embedding")
+    assigned = _assign_cells(emb, cents, "vec_id", "embedding")
     return assigned.select(
         F.col("neighbor_id").alias("vec_id"), F.col("bucket").cast("long").alias("bucket")
     )

@@ -1407,7 +1407,6 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     move a centroid that already sits on its cluster mean)."""
     from chapterbridge_ocr_worker_spark.operators.similarity import (
         _assign_cells,
-        _centroid_literal,
         kmeans_refine,
     )
 
@@ -1423,7 +1422,7 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     assigned = {
         r["neighbor_id"]: r["bucket"]
         for r in _assign_cells(
-            emb, _centroid_literal(cents), "vec_id", "embedding"
+            emb, cents, "vec_id", "embedding"
         ).collect()
     }
     a_cells = {assigned[i] for i in assigned if i % 2 == 0}
