@@ -37,8 +37,25 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 BATCH_ROWS = 8192  # re-accumulation target inside kernels
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for kernel scans (guide §2.5/§6):
+    a small parquet table arrives as 1-2 splits, which would run a
+    compute-heavy kernel nearly single-threaded. When the scan has fewer
+    partitions than the cluster's parallelism, round-robin repartition up
+    to it — a few-MB shuffle locally; a no-op at real scale, where the
+    input already has >= defaultParallelism splits (nothing here is tuned
+    to a core COUNT: the floor derives from the session's own
+    parallelism). Only candidate-superset/row-local kernels sit downstream,
+    so results are partitioning-independent."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def _vec_matrix(arr: "pa.Array", dim: int) -> np.ndarray:
@@ -186,9 +203,41 @@ def brute_cosine_candidates(
                 schema=out_schema,
             )
 
-    return corpus.select(id_col, vec_col).mapInArrow(
+    return _spread(corpus.select(id_col, vec_col)).mapInArrow(
         fn, "query_id long, neighbor_id long, cos double"
     )
+
+
+def _bucket_cosine_segments(nid, bkt, C, pm, qi, Q, qn, k):
+    """Shared scoring core of the bucketed cosine kernels: group the batch
+    by bucket (one stable argsort), score each bucket's rows against the
+    queries probing it as an ordered-fold dot MATRIX (small allocations,
+    O(total pair flops)), apply the per-(bucket, query) top-k value-mask
+    superset, and return (query_ids, neighbor_ids, cos) arrays to emit.
+    A query probing p buckets contributes <= p*k rows per batch — still a
+    superset of its true top-k, finished by the JVM window."""
+    cn = np.sqrt(ordered_sqnorm(C))
+    order = np.argsort(bkt, kind="stable")
+    sorted_b = bkt[order]
+    bounds = np.flatnonzero(np.diff(sorted_b)) + 1
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for seg in np.split(order, bounds):
+        qlist = pm.get(int(bkt[seg[0]]))
+        if not qlist:
+            continue
+        qarr = np.asarray(qlist, dtype=np.int64)
+        dots = ordered_dot_matrix(C[seg], Q[qarr])
+        # JVM: cosine(qvec, cvec) = dot / (norm(qvec) * norm(cvec))
+        cos = dots / (qn[qarr][None, :] * cn[seg][:, None])
+        cos[nid[seg][:, None] == qi[qarr][None, :]] = -np.inf
+        mask = _topk_value_mask(cos, k)
+        rows, qcols = np.nonzero(mask)
+        out_q.append(qi[qarr[qcols]])
+        out_n.append(nid[seg[rows]])
+        out_c.append(cos[rows, qcols])
+    return out_q, out_n, out_c
 
 
 def bucket_cosine_candidates(
@@ -228,45 +277,19 @@ def bucket_cosine_candidates(
             nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             bkt = cols[bucket_col].to_numpy(zero_copy_only=False)
             C = _vec_matrix(cols[vec_col], dim)
-            cn = np.sqrt(ordered_sqnorm(C))
-            # expand to (row, query) candidate pairs
-            rows_l: list[np.ndarray] = []
-            qs_l: list[np.ndarray] = []
-            for r, b in enumerate(bkt):
-                qlist = pm.get(int(b))
-                if qlist:
-                    rows_l.append(np.full(len(qlist), r, dtype=np.int64))
-                    qs_l.append(np.asarray(qlist, dtype=np.int64))
-            if not rows_l:
+            oq, on, oc = _bucket_cosine_segments(nid, bkt, C, pm, qi_, Q_, qn_, k)
+            if not oq:
                 continue
-            rows = np.concatenate(rows_l)
-            qidx = np.concatenate(qs_l)
-            pair_dot = ordered_pair_dot(C[rows], Q_[qidx])
-            cos = pair_dot / (qn_[qidx] * cn[rows])
-            keep_self = nid[rows] != qi_[qidx]
-            # per-query top-k superset among this batch's pairs
-            emit = np.zeros(len(rows), dtype=bool)
-            for q in np.unique(qidx):
-                sel = (qidx == q) & keep_self
-                vals = cos[sel]
-                if len(vals) <= k:
-                    emit |= sel
-                    continue
-                clean = np.where(np.isnan(vals), np.inf, vals)
-                kth = np.partition(clean, len(vals) - k)[len(vals) - k]
-                good = (clean >= kth) | np.isnan(vals)
-                idx = np.nonzero(sel)[0]
-                emit[idx[good]] = True
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qi_[qidx[emit]], type=pa.int64()),
-                    pa.array(nid[rows[emit]], type=pa.int64()),
-                    pa.array(cos[emit], type=pa.float64()),
+                    pa.array(np.concatenate(oq), type=pa.int64()),
+                    pa.array(np.concatenate(on), type=pa.int64()),
+                    pa.array(np.concatenate(oc), type=pa.float64()),
                 ],
                 schema=out_schema,
             )
 
-    return corpus.select(id_col, vec_col, bucket_col).mapInArrow(
+    return _spread(corpus.select(id_col, vec_col, bucket_col)).mapInArrow(
         fn, "query_id long, neighbor_id long, cos double"
     )
 
@@ -309,7 +332,7 @@ def cell_scores_raw(
                 names=[id_col, vec_col, "sc_raw"],
             )
 
-    return corpus.select(id_col, vec_col).mapInArrow(
+    return _spread(corpus.select(id_col, vec_col)).mapInArrow(
         fn, f"{id_col} long, {vec_col} {vec_type}, sc_raw array<double>"
     )
 
@@ -372,7 +395,7 @@ def lsh_bucket_frame(
                 names=[id_col, vec_col, "bucket"],
             )
 
-    return corpus.select(id_col, vec_col).mapInArrow(fn, schema)
+    return _spread(corpus.select(id_col, vec_col)).mapInArrow(fn, schema)
 
 
 def lsh_cosine_candidates(
@@ -418,45 +441,113 @@ def lsh_cosine_candidates(
             nid = cols[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             C = _vec_matrix(cols[vec_col], dim)
             bkt = lsh_bucket_np(C, W)
-            cn = np.sqrt(ordered_sqnorm(C))
-            rows_l: list[np.ndarray] = []
-            qs_l: list[np.ndarray] = []
-            for r, b in enumerate(bkt):
-                qlist = pm.get(int(b))
-                if qlist:
-                    rows_l.append(np.full(len(qlist), r, dtype=np.int64))
-                    qs_l.append(np.asarray(qlist, dtype=np.int64))
-            if not rows_l:
+            oq, on, oc = _bucket_cosine_segments(nid, bkt, C, pm, qi_, Q_, qn_, k)
+            if not oq:
                 continue
-            rows = np.concatenate(rows_l)
-            qidx = np.concatenate(qs_l)
-            pair_dot = ordered_pair_dot(C[rows], Q_[qidx])
-            cos = pair_dot / (qn_[qidx] * cn[rows])
-            keep_self = nid[rows] != qi_[qidx]
-            emit = np.zeros(len(rows), dtype=bool)
-            for q in np.unique(qidx):
-                sel = (qidx == q) & keep_self
-                vals = cos[sel]
-                if len(vals) <= k:
-                    emit |= sel
-                    continue
-                clean = np.where(np.isnan(vals), np.inf, vals)
-                kth = np.partition(clean, len(vals) - k)[len(vals) - k]
-                good = (clean >= kth) | np.isnan(vals)
-                idx = np.nonzero(sel)[0]
-                emit[idx[good]] = True
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qi_[qidx[emit]], type=pa.int64()),
-                    pa.array(nid[rows[emit]], type=pa.int64()),
-                    pa.array(cos[emit], type=pa.float64()),
+                    pa.array(np.concatenate(oq), type=pa.int64()),
+                    pa.array(np.concatenate(on), type=pa.int64()),
+                    pa.array(np.concatenate(oc), type=pa.float64()),
                 ],
                 schema=out_schema,
             )
 
-    return corpus.select(id_col, vec_col).mapInArrow(
+    return _spread(corpus.select(id_col, vec_col)).mapInArrow(
         fn, "query_id long, neighbor_id long, cos double"
     )
+
+
+def bucket_pair_cos(
+    sigs: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    bucket_col: str = "bucket",
+    flag_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) for every same-bucket unordered pair (id_a <
+    id_b), cos the bit-exact JVM-fold double — the kernel replacement for
+    the LSH-blocked self-join + per-pair HOF cosine of the near-dup
+    operators. With ``flag_col`` (incremental mode) only pairs with at
+    least one flagged side are emitted — the same pair set as the old
+    new-side x union join after least/greatest dedup.
+
+    One hash shuffle on the bucket key replaces the self-join's exchange;
+    each bucket's rows land contiguous (repartition + sortWithinPartitions)
+    and its pair block is a <= cap^2 dot matrix — the caller's bucket cap
+    keeps blocks bounded, exactly as it bounded the join. The
+    threshold DECISION (ROUND(cos,4) >= t) stays a JVM filter on top."""
+    spark = sigs.sparkSession
+    cols = [id_col, vec_col, bucket_col] + ([flag_col] if flag_col else [])
+    part = sigs.select(*cols).repartition(F.col(bucket_col)).sortWithinPartitions(
+        bucket_col
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", pa.int64()),
+            pa.field("id_b", pa.int64()),
+            pa.field("cos", pa.float64()),
+        ]
+    )
+
+    def fn(iterator):
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        get = lambda c: (  # noqa: E731
+            tbl.column(c).chunk(0)
+            if tbl.column(c).num_chunks == 1
+            else pa.concat_arrays(tbl.column(c).chunks)
+        )
+        nid = get(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = get(bucket_col).to_numpy(zero_copy_only=False)
+        varr = get(vec_col)
+        offs = varr.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        V = _vec_matrix(varr, dim)
+        flags = (
+            get(flag_col).to_numpy(zero_copy_only=False).astype(bool)
+            if flag_col
+            else None
+        )
+        order = np.argsort(bkt, kind="stable")
+        bounds = np.flatnonzero(np.diff(bkt[order])) + 1
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for seg in np.split(order, bounds):
+            n = len(seg)
+            if n < 2:
+                continue
+            # order by id so pair (i, j), i<j has id_a < id_b
+            seg = seg[np.argsort(nid[seg], kind="stable")]
+            Csub = V[seg]
+            cn = np.sqrt(ordered_sqnorm(Csub))
+            dots = ordered_dot_matrix(Csub, Csub)
+            cos = dots / (cn[:, None] * cn[None, :])
+            iu, ju = np.triu_indices(n, k=1)
+            if flags is not None:
+                fl = flags[seg]
+                keep = fl[iu] | fl[ju]
+                iu, ju = iu[keep], ju[keep]
+            if not len(iu):
+                continue
+            out_a.append(nid[seg[iu]])
+            out_b.append(nid[seg[ju]])
+            out_c.append(cos[iu, ju])
+        if not out_a:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_a), type=pa.int64()),
+                pa.array(np.concatenate(out_b), type=pa.int64()),
+                pa.array(np.concatenate(out_c), type=pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+    return part.mapInArrow(fn, "id_a long, id_b long, cos double")
 
 
 def pq_ds_raw(
@@ -515,7 +606,7 @@ def pq_ds_raw(
                 names=list(out_cols) + ["ds_raw"],
             )
 
-    return corpus.select(*in_cols).mapInArrow(fn, schema)
+    return _spread(corpus.select(*in_cols)).mapInArrow(fn, schema)
 
 
 def adc_candidates(
@@ -588,40 +679,43 @@ def adc_candidates(
                 )
             else:
                 bkt = cols[bucket_col].to_numpy(zero_copy_only=False)
-                rows_l: list[np.ndarray] = []
-                qs_l: list[np.ndarray] = []
-                for r, b in enumerate(bkt):
-                    qlist = probes.get(int(b))
-                    if qlist:
-                        rows_l.append(np.full(len(qlist), r, dtype=np.int64))
-                        qs_l.append(np.asarray(qlist, dtype=np.int64))
-                if not rows_l:
-                    continue
-                rows = np.concatenate(rows_l)
-                qidx = np.concatenate(qs_l)
-                acc = np.zeros(len(rows), dtype=np.int64)
-                for j in range(m):
-                    acc += DT_[qidx, j, CD[rows, j]]
-                keep_self = nid[rows] != qi_[qidx]
-                emit = np.zeros(len(rows), dtype=bool)
-                for q in np.unique(qidx):
-                    sel = (qidx == q) & keep_self
-                    vals = acc[sel]
-                    if len(vals) <= k:
-                        emit |= sel
+                order = np.argsort(bkt, kind="stable")
+                bounds = np.flatnonzero(np.diff(bkt[order])) + 1
+                out_q: list[np.ndarray] = []
+                out_n: list[np.ndarray] = []
+                out_a: list[np.ndarray] = []
+                big = np.iinfo(np.int64).max
+                for seg in np.split(order, bounds):
+                    qlist = probes.get(int(bkt[seg[0]]))
+                    if not qlist:
                         continue
-                    kth = np.partition(vals, k - 1)[k - 1]
-                    idx = np.nonzero(sel)[0]
-                    emit[idx[vals <= kth]] = True
+                    qarr = np.asarray(qlist, dtype=np.int64)
+                    sub = CD[seg]
+                    acc = np.zeros((len(seg), len(qarr)), dtype=np.int64)
+                    for j in range(m):
+                        acc += DT_[qarr, j, :][:, sub[:, j]].T
+                    self_mask = nid[seg][:, None] == qi_[qarr][None, :]
+                    acc_m = np.where(self_mask, big, acc)
+                    if len(seg) <= k:
+                        mask = ~self_mask
+                    else:
+                        kth = np.partition(acc_m, k - 1, axis=0)[k - 1]
+                        mask = (acc_m <= kth[None, :]) & ~self_mask
+                    rows, qcols = np.nonzero(mask)
+                    out_q.append(qi_[qarr[qcols]])
+                    out_n.append(nid[seg[rows]])
+                    out_a.append(acc[rows, qcols])
+                if not out_q:
+                    continue
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(qi_[qidx[emit]], type=pa.int64()),
-                        pa.array(nid[rows[emit]], type=pa.int64()),
-                        pa.array(acc[emit], type=pa.int64()),
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_a), type=pa.int64()),
                     ],
                     schema=out_schema,
                 )
 
-    return codes.select(*sel_cols).mapInArrow(
+    return _spread(codes.select(*sel_cols)).mapInArrow(
         fn, "query_id long, neighbor_id long, adist_q long"
     )

@@ -652,6 +652,8 @@ def cosine_neardup_pairs(
     because the plan has four consumers (count, semi-join, both join sides) —
     lifetime is caller-owned via operators.cache.release_caches().
     """
+    from .fastpath import bucket_pair_cos
+
     sigs = persist_tracked(
         vector_signatures(corpus, bits, id_col, vec_col), storage_level
     )
@@ -662,18 +664,12 @@ def cosine_neardup_pairs(
         .select("bucket")
     )
     capped = sigs.join(keep, "bucket", "left_semi")
-    a, b = capped.alias("a"), capped.alias("b")
+    # r6 fastpath: the bucket self-join + per-pair HOF cosine become one
+    # bucket-grouped pair kernel (same pair set, bit-exact doubles); the
+    # ROUND(cos,4) >= threshold DECISION stays a JVM filter
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_r"),
-        )
+        bucket_pair_cos(capped, "id", "vec", "bucket")
+        .select("id_a", "id_b", F.round(F.col("cos"), 4).alias("cos_r"))
         .filter(F.col("cos_r") >= threshold)
     )
 
@@ -724,19 +720,16 @@ def incremental_cosine_neardup(
         .filter(F.col("bucket_n") <= max_bucket)
         .select("bucket")
     )
+    from .fastpath import bucket_pair_cos
+
     capped = allsigs.join(kept, "bucket", "left_semi")
-    a, b = capped.filter("is_new").alias("a"), capped.alias("b")
+    # r6 fastpath: one bucket-grouped pair kernel emits each unordered
+    # same-bucket pair with >=1 new side exactly once (the old new-side x
+    # union join + least/greatest produced the same set); threshold
+    # decision stays JVM. distinct() kept for the output contract.
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_r"),
-        )
+        bucket_pair_cos(capped, "id", "vec", "bucket", flag_col="is_new")
+        .select("id_a", "id_b", F.round(F.col("cos"), 4).alias("cos_r"))
         .filter(F.col("cos_r") >= threshold)
         .distinct()
     )
