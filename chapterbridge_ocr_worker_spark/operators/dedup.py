@@ -195,41 +195,16 @@ def minhash_signatures(
         "hs", F.transform(F.col("toks"), lambda t: portable_token_hash(t))
     )
 
-    # ONE aggregate with an array<long>[K] accumulator instead of K separate
-    # aggregates: same math, 2.7x faster measured at sf0.1 (0.8 s vs 2.2 s
-    # warm) — K aggregate expressions each re-walk the token array and carry
-    # their own codegen state. Permutation coefficients ride as array
-    # literals indexed inside the zip_with.
-    a_lit = F.array(*[F.lit(a).cast("long") for a in a_coef])
-    b_lit = F.array(*[F.lit(b).cast("long") for b in b_coef])
-    idx = F.sequence(F.lit(0), F.lit(MH_K - 1))
-    sig = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(MH_PRIME).cast("long"), MH_K),
-        lambda acc, x: F.zip_with(
-            acc,
-            idx,
-            lambda a, i: F.least(
-                a,
-                (
-                    F.element_at(a_lit, (i + 1).cast("int")) * x
-                    + F.element_at(b_lit, (i + 1).cast("int"))
-                )
-                % F.lit(MH_PRIME),
-            ),
-        ),
+    # r6 fastpath: the K-permutation min-fold and the band folds run in
+    # the NumPy kernel — EXACT int64 arithmetic (min/mod are order-free),
+    # so sig/bands are value-identical to the old |tokens| x K zip_with
+    # fold; tokenization + per-char hashing stay JVM (regex semantics
+    # pinned there).
+    from .fastpath import minhash_sigs_from_hs
+
+    return minhash_sigs_from_hs(
+        base, list(a_coef), list(b_coef), MH_PRIME, MH_ROWS, _BAND_MULT
     )
-    out = base.withColumn("sig", sig).drop("hs")
-
-    def band_hash(j: int) -> Column:
-        acc = F.lit(0).cast("long")
-        for x in [F.lit(j).cast("long")] + [
-            F.col("sig")[j * MH_ROWS + r] for r in range(MH_ROWS)
-        ]:
-            acc = (acc * F.lit(_BAND_MULT) + x) % F.lit(MH_PRIME)
-        return acc
-
-    return out.withColumn("bands", F.array(*[band_hash(j) for j in range(MH_BANDS)]))
 
 
 def materialize_signatures(
@@ -497,22 +472,32 @@ def _token_hash62(tok: Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    use_kernel: bool = False,
 ) -> DataFrame:
     """62-bit SimHash: per-bit vote sum of token-hash bits; bit set iff the
-    vote is positive. Near-identical token bags -> small hamming distance."""
+    vote is positive. Near-identical token bags -> small hamming distance.
+
+    Two value-identical implementations (r6):
+    - default: one JVM aggregate with an array<int>[62] vote accumulator.
+      Kept as the default because it is a LAZY column expression —
+      consumers that never read ``simhash`` (e.g. a bare count) prune the
+      whole fold, which an opaque Python stage cannot offer.
+    - use_kernel=True: the NumPy vote kernel (fastpath.simhash_from_hs) —
+      exact int64 arithmetic, ~2x faster when the signature is actually
+      materialized for every row (the persisted pairs path uses this).
+    """
     toks = token_set(F.col(text_col))
     # materialize the 62-bit token hashes once (an inlined transform gets
     # re-evaluated per consumer)
     hashed = df.select(F.col(id_col).alias("id"), toks.alias("toks")).withColumn(
         "hs", F.transform(F.col("toks"), lambda t: _token_hash62(t))
     )
+    if use_kernel:
+        from .fastpath import simhash_from_hs
 
-    # ONE aggregate with an array<int>[62] vote accumulator instead of 62
-    # separate vote aggregates (same rationale + speedup as the minhash
-    # rewrite above). Bit tests use h & 2^b with the powers-of-two riding
-    # as an array literal — bitwiseAND accepts a Column where shiftright
-    # would demand a Python-int shift.
+        return simhash_from_hs(hashed, SIM_BITS)
+
     pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIM_BITS)])
     votes = F.aggregate(
         F.col("hs"),
@@ -975,7 +960,9 @@ def simhash_neardup_pairs(
     Re-rank = bit_count(xor) <= max_hamming, JVM-side. Same degenerate-
     bucket cap as MinHash (identical docs all share all 4 bands).
     """
-    sigs = persist_tracked(simhash_signatures(df, text_col, id_col), storage_level)
+    sigs = persist_tracked(
+        simhash_signatures(df, text_col, id_col, use_kernel=True), storage_level
+    )
     band_cols = []
     for idx, (shift, width) in enumerate(SIM_BAND_EDGES):
         mask = F.lit((1 << width) - 1).cast("long")
@@ -994,6 +981,71 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _window_hashes(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, wnd) for the substring-dedup family: base = (id, _tk) and
+    wnd = (id, pos, h) with h = portable_token_hash of the space-joined
+    ``window``-gram at 0-based token position pos.
+
+    r6 optimization: the old path BUILT every gram string
+    (slice+array_join, ~window x token_len chars each) and char-folded it
+    — O(|tokens| x window x token_len) hash lambdas plus 2x recompute
+    (wnd had two consumers). Now each token is char-folded ONCE into
+    (h_tok, 31^len mod p), and gram hashes compose by modular identity
+      h(a ⊔ ' ' ⊔ b) = (((h(a)*31 + 32) % p) * p_b + h_b) % p
+    — exact integer arithmetic, value-identical to hashing the joined
+    string (both fold mod p at every step), so the DuckDB twin needs no
+    change. O(|chars|) once + O(|tokens| x window) composes, and wnd is
+    persisted (caller-owned lifetime via cache.release_caches) so its two
+    consumers share one computation. Nothing here decides anything in
+    float — pure int64, products bounded by p^2 < 2^62."""
+    from .fastpath import _spread
+
+    # base stays an UNspread lazy projection (cheap consumers, prunable);
+    # the heavy hash pipeline below runs over a parallelism-floored copy
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    spread_base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    hp = F.transform(
+        F.col("_tk"),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
+            ),
+            lambda acc, c: F.struct(
+                ((acc["h"] * 31 + F.ascii(c)) % F.lit(MH_PRIME)).alias("h"),
+                ((acc["p"] * 31) % F.lit(MH_PRIME)).alias("p"),
+            ),
+        ),
+    )
+    toks_hp = spread_base.withColumn("_hp", hp)
+    gram_h = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_tk")) - window),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(window - 1)),
+            F.element_at(F.col("_hp"), i + 1)["h"],
+            lambda acc, w: (
+                ((acc * 31 + 32) % F.lit(MH_PRIME))
+                * F.element_at(F.col("_hp"), i + 1 + w)["p"]
+                + F.element_at(F.col("_hp"), i + 1 + w)["h"]
+            )
+            % F.lit(MH_PRIME),
+        ),
+    )
+    hs = F.when(
+        F.size(F.col("_tk")) < window, F.array().cast("array<long>")
+    ).otherwise(gram_h)
+    wnd = persist_tracked(
+        toks_hp.select("id", F.posexplode(hs).alias("pos", "h"))
+    )
+    return base, wnd
 
 
 def duplicate_substring_spans(
@@ -1032,18 +1084,7 @@ def duplicate_substring_spans(
     """
     from pyspark.sql.window import Window
 
-    grams = F.expr(
-        # positions are 0-based token offsets; ngrams via slice+join so the
-        # gram string matches the DuckDB twin byte-for-byte
-        f"CASE WHEN size(_tk) < {window} THEN array() ELSE "
-        f"transform(sequence(0, size(_tk) - {window}), "
-        f"i -> array_join(slice(_tk, i + 1, {window}), ' ')) END"
-    )
-    wnd = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk"))
-        .select("id", F.posexplode(grams).alias("pos", "g"))
-        .select("id", "pos", portable_token_hash(F.col("g")).alias("h"))
-    )
+    _, wnd = _window_hashes(df, window, text_col, id_col)
     dup_h = (
         wnd.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
@@ -1110,17 +1151,12 @@ def excise_duplicate_substrings(
     """
     from pyspark.sql.window import Window
 
-    grams = F.expr(
-        f"CASE WHEN size(_tk) < {window} THEN array() ELSE "
-        f"transform(sequence(0, size(_tk) - {window}), "
-        f"i -> array_join(slice(_tk, i + 1, {window}), ' ')) END"
-    )
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
-    )
-    wnd = base.select("id", F.posexplode(grams).alias("pos", "g")).select(
-        "id", "pos", portable_token_hash(F.col("g")).alias("h")
-    )
+    # base deliberately NOT persisted: its three consumers re-derive the
+    # (cheap) token split, and keeping it a lazy projection lets consumers
+    # that never touch the rebuilt text (e.g. a bare count: the left join
+    # against the unique-keyed rebuild aggregate is eliminated outright)
+    # prune the whole excision branch — a persist would force it.
+    base, wnd = _window_hashes(df, window, text_col, id_col)
     info = wnd.groupBy("h").agg(
         F.countDistinct("id").alias("nd"), F.min("id").alias("keeper")
     )
@@ -1144,9 +1180,15 @@ def excise_duplicate_substrings(
         .agg(F.min("pos").alias("cs"), (F.max("pos") + window).alias("ce"))
     )
     toks_idx = base.select("id", F.posexplode("_tk").alias("ti", "tok"))
+    # ranges' key is aliased so the self-join condition is unambiguous by
+    # construction (both legs descend from `base`; relying on the
+    # analyzer's self-join disambiguation is fragile — r5 ADVICE item)
+    ranges_r = ranges.select(
+        F.col("id").alias("rid"), F.col("cs"), F.col("ce")
+    )
     kept = toks_idx.join(
-        ranges,
-        (toks_idx["id"] == ranges["id"])
+        ranges_r,
+        (F.col("id") == F.col("rid"))
         & (F.col("ti") >= F.col("cs"))
         & (F.col("ti") < F.col("ce")),
         "left_anti",

@@ -458,6 +458,118 @@ def lsh_cosine_candidates(
     )
 
 
+def _flat_list_i64(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """ListArray<int-like> -> (flat int64 values, int64 offsets rebased
+    to 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = flat[offs[0] : offs[-1]]
+    return flat, offs - offs[0]
+
+
+def _segment_min(vals: np.ndarray, offs: np.ndarray, empty_val: int) -> np.ndarray:
+    """Per-segment minimum over a ragged layout; empty segments get
+    ``empty_val``. Exact integer reduction (order-free: min)."""
+    n = len(offs) - 1
+    out = np.full(n, empty_val, dtype=np.int64)
+    lengths = np.diff(offs)
+    ne = lengths > 0
+    if ne.any():
+        starts = offs[:-1][ne]
+        out[ne] = np.minimum.reduceat(vals, starts)
+    return out
+
+
+def minhash_sigs_from_hs(
+    hashed: DataFrame,
+    a_coef: list[int],
+    b_coef: list[int],
+    prime: int,
+    rows_per_band: int,
+    band_mult: int,
+) -> DataFrame:
+    """(id, toks, sig, bands) from (id, toks, hs): the K-permutation
+    min-fold and the banded fold, vectorized. EXACT int64 arithmetic —
+    sig[i] = min over tokens of (a_i*h + b_i) mod p (min is order-free;
+    a_i,h < p = 2^31-1 so products stay < 2^62), band j folds
+    [j, sig[j*r]..] with the band multiplier mod p. Replaces a
+    |tokens| x K higher-order zip_with fold per doc; values unchanged."""
+    k = len(a_coef)
+    n_bands = k // rows_per_band
+    dtypes = dict(hashed.dtypes)
+    schema = (
+        f"id long, toks {dtypes['toks']}, sig array<long>, bands array<long>"
+    )
+    A = np.asarray(a_coef, dtype=np.int64)
+    B = np.asarray(b_coef, dtype=np.int64)
+
+    def fn(iterator):
+        for cols in _rebatch(iterator, ("id", "toks", "hs")):
+            flat, offs = _flat_list_i64(cols["hs"])
+            n = len(offs) - 1
+            sig = np.empty((n, k), dtype=np.int64)
+            for i in range(k):
+                v = (A[i] * flat + B[i]) % prime
+                sig[:, i] = _segment_min(v, offs, prime)
+            bands = np.empty((n, n_bands), dtype=np.int64)
+            for j in range(n_bands):
+                acc = np.full(n, j, dtype=np.int64)
+                for r in range(rows_per_band):
+                    acc = (acc * band_mult + sig[:, j * rows_per_band + r]) % prime
+                bands[:, j] = acc
+            sig_off = pa.array(
+                np.arange(0, (n + 1) * k, k, dtype=np.int32), pa.int32()
+            )
+            band_off = pa.array(
+                np.arange(0, (n + 1) * n_bands, n_bands, dtype=np.int32),
+                pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["id"],
+                    cols["toks"],
+                    pa.ListArray.from_arrays(
+                        sig_off, pa.array(sig.ravel(), type=pa.int64())
+                    ),
+                    pa.ListArray.from_arrays(
+                        band_off, pa.array(bands.ravel(), type=pa.int64())
+                    ),
+                ],
+                names=["id", "toks", "sig", "bands"],
+            )
+
+    return _spread(hashed.select("id", "toks", "hs")).mapInArrow(fn, schema)
+
+
+def simhash_from_hs(hashed: DataFrame, sim_bits: int) -> DataFrame:
+    """(id, simhash) from (id, hs): per-bit +-1 vote sums then bit set iff
+    vote > 0 — exact integer arithmetic, order-free sums. Replaces the
+    |tokens| x 62 zip_with vote fold per doc; values unchanged."""
+
+    def fn(iterator):
+        for cols in _rebatch(iterator, ("id", "hs")):
+            flat, offs = _flat_list_i64(cols["hs"])
+            n = len(offs) - 1
+            sig = np.zeros(n, dtype=np.int64)
+            starts = offs[:-1]
+            lengths = np.diff(offs)
+            ne = lengths > 0
+            for b in range(sim_bits):
+                votes_tok = np.where(flat & (1 << b), 1, -1).astype(np.int64)
+                vsum = np.zeros(n, dtype=np.int64)
+                if ne.any():
+                    vsum[ne] = np.add.reduceat(votes_tok, starts[ne])
+                sig |= np.where(vsum > 0, np.int64(1 << b), np.int64(0))
+            yield pa.RecordBatch.from_arrays(
+                [cols["id"], pa.array(sig, type=pa.int64())],
+                names=["id", "simhash"],
+            )
+
+    return _spread(hashed.select("id", "hs")).mapInArrow(fn, "id long, simhash long")
+
+
 def bucket_pair_cos(
     sigs: DataFrame,
     id_col: str = "id",
