@@ -53,6 +53,17 @@ def get_spark(
         # across batches (reference warms the model once at daemon start,
         # workers/ocr/main.py:227-230).
         .config("spark.python.worker.reuse", "true")
+        # Input split size is a SCALE knob (guide §6): the default here
+        # suits the repo's local fixtures (tables of 1-150 MB, where
+        # 128 MB splits leave a fact-table scan on 1-2 cores); a
+        # production deployment on real multi-GB inputs sets
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g so sequential scans
+        # aren't task-overhead-bound. Parquet row-group granularity still
+        # bounds split parallelism per file.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")

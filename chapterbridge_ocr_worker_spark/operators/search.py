@@ -60,8 +60,20 @@ def bm25_topk(
     integer stats so Spark and the SQL twin run the same float ops at
     the same inputs. Result: (id_col, bm25_r, rank), score > 0 only.
     """
-    toks = _doc_tokens(F.col(text_col))
-    stat_row = corpus.agg(
+    # r6: tokenize ONCE per pass — the split is materialized as a column
+    # in a lower projection and every consumer references the attribute;
+    # inlining it (the old shape) re-ran the regex split per referencing
+    # expression because higher-order functions fall out of codegen CSE.
+    from .cache import persist_tracked
+    from .fastpath import _spread
+
+    tokd = persist_tracked(
+        _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), _doc_tokens(F.col(text_col)).alias("_toks")
+        )
+    )
+    toks = F.col("_toks")
+    stat_row = tokd.agg(
         F.count("*").alias("n"),
         F.sum(F.size(toks)).alias("sumdl"),
         *[
@@ -87,7 +99,7 @@ def bm25_topk(
             * F.lit(k1 + 1.0)
             / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
         )
-    scored = corpus.select(
+    scored = tokd.select(
         F.col(id_col), F.round(score, 4).alias("bm25_r")
     ).filter(F.col("bm25_r") > 0)
     return (

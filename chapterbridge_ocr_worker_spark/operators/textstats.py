@@ -161,7 +161,12 @@ def bigram_lm_score(
     regroup shuffles by doc_id. No Python anywhere; whole-stage codegen
     end-to-end.
     """
-    pairs = _doc_bigrams(df, text_col, id_col)
+    from .cache import persist_tracked
+
+    # r6: the exploded bigram frame has three consumers (both count
+    # shuffles + the scoring join) — persist it so tokenize+explode run
+    # once (caller-owned lifetime via cache.release_caches)
+    pairs = persist_tracked(_doc_bigrams(df, text_col, id_col))
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     scored = (
@@ -194,9 +199,13 @@ def bigram_lm_score(
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, pos, w1, w2) — one row per bigram occurrence, position
     kept so per-doc float folds can run in a deterministic order."""
+    from .fastpath import _spread
+
     tk = tokens(F.col(text_col))
     n = F.size(F.col("tk"))
-    base = df.select(F.col(id_col).alias("doc_id"), tk.alias("tk"))
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), tk.alias("tk")
+    )
     bigrams = F.zip_with(
         F.slice(F.col("tk"), F.lit(1), F.greatest(n - 1, F.lit(0))),
         F.slice(F.col("tk"), F.lit(2), F.greatest(n - 1, F.lit(0))),
@@ -302,6 +311,38 @@ def frozen_lm_score(
     )
 
 
+def _with_pred_lang(df: DataFrame, text_col: str) -> DataFrame:
+    """df + (_toks, pred_lang) via LAYERED projections (r6): the old
+    inline ``predicted_lang`` expression re-evaluated tokens() and each
+    language's vote for every reference (HOFs fall out of codegen CSE),
+    ~10 regex splits + vote scans per row. Here the split and the four
+    vote counts are materialized once as attributes — the collapse guard
+    keeps non-cheap expressions from re-inlining — and the tie-break CASE
+    reads cheap columns. Votes are integers, so pred_lang is equal by
+    construction to predicted_lang(text)."""
+    t = F.col(text_col)
+    l1 = df.withColumn("_toks", tokens(t))
+    l2 = l1.withColumns(
+        {
+            "_ven": _hits(F.col("_toks"), STOPWORDS_EN),
+            "_vde": _hits(F.col("_toks"), STOPWORDS_DE),
+            "_ves": _hits(F.col("_toks"), STOPWORDS_ES),
+            "_vfr": _hits(F.col("_toks"), STOPWORDS_FR),
+            "_cjk": F.length(F.regexp_replace(t, r"[^一-鿿]", "")),
+        }
+    )
+    best = F.greatest(F.col("_ven"), F.col("_vde"), F.col("_ves"), F.col("_vfr"))
+    return l2.withColumn(
+        "pred_lang",
+        F.when(F.col("_cjk") * 5 > F.length(F.trim(t)), F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(F.col("_ven") == best, F.lit("en"))
+        .when(F.col("_vde") == best, F.lit("de"))
+        .when(F.col("_ves") == best, F.lit("es"))
+        .otherwise(F.lit("fr")),
+    )
+
+
 def corpus_language_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language corpus inventory: docs / total tokens / total chars —
     THE question a training run asks of a corpus ("how many tokens do I
@@ -314,11 +355,14 @@ def corpus_language_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     reduces each partition to <=6 rows before the shuffle, so the hot key
     never concentrates rows, only partial sums.
     """
+    from .fastpath import _spread
+
     t = F.col(text_col)
     return (
-        df.select(
-            predicted_lang(t).alias("pred_lang"),
-            token_count(t).alias("n_tokens"),
+        _with_pred_lang(_spread(df.select(t)), text_col)
+        .select(
+            "pred_lang",
+            F.size(F.col("_toks")).alias("n_tokens"),
             F.length(t).alias("n_chars"),
         )
         .groupBy("pred_lang")
@@ -343,13 +387,21 @@ def topk_quality_per_lang(
     """
     from pyspark.sql.window import Window
 
+    from .fastpath import _spread
+
     t = F.col(text_col)
-    q = quality_columns(t)
-    scored = df.select(
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    alpha_ratio = F.round(
+        n_alpha / F.greatest(n_chars, F.lit(1)).cast("double"), 4
+    )
+    scored = _with_pred_lang(
+        _spread(df.select(F.col(id_col), t)), text_col
+    ).select(
         F.col(id_col).alias("doc_id"),
-        predicted_lang(t).alias("pred_lang"),
-        q["alpha_ratio"].alias("alpha_ratio"),
-        q["n_tokens"].alias("n_tokens"),
+        F.col("pred_lang"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.size(F.col("_toks")).alias("n_tokens"),
     )
     w = Window.partitionBy("pred_lang").orderBy(
         F.col("alpha_ratio").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()

@@ -583,7 +583,12 @@ def q1_summary(spark, sf_dir):
 def q3_topk(spark, sf_dir):
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # r6: pin the fact-table join to sort-merge — under the session's
+    # broadcast threshold the planner otherwise builds a hash relation
+    # over LINEITEM (the biggest table) and probes it with customer x
+    # orders, which is backwards at any scale and measured ~2.5x slower
+    # at sf1.0; dims still broadcast
+    li = t(spark, sf_dir, "lineitem").hint("shuffle_merge")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -616,7 +621,9 @@ def q3_topk(spark, sf_dir):
 def q5_region(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # r6: same fact-join pin as q3 (see comment there) — lineitem must be
+    # the shuffled/probed side, never a broadcast build side
+    li = t(spark, sf_dir, "lineitem").hint("shuffle_merge")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
