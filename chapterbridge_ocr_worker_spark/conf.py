@@ -15,11 +15,15 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-# Arrow batches carry raw media bytes into the OCR UDF. A webtoon page can be
-# multi-MB, so cap records/batch low (the analogue of the reference's
-# tile-height memory bound, ocr_engine.py:72-106) — 64 rows × ~2 MB ≈ 128 MB
-# per batch worst-case, safe for a 4-8 GB executor.
-DEFAULT_ARROW_BATCH = 64
+# Arrow batches carry raw media bytes into the OCR UDF. A webtoon page can
+# be multi-MB, so batches must stay memory-bounded — but bounding by ROW
+# COUNT alone (64 rows, the r1-r5 setting) fragmented every text-side
+# mapInPandas/mapInArrow stage into tiny batches. r6: bound by BYTES
+# (maxBytesPerBatch, the direct knob for the media-size hazard — 32 MB ≈
+# 16 worst-case pages per batch) and let narrow numeric/text rows batch up
+# to a proper vectorization width.
+DEFAULT_ARROW_BATCH = 2048
+DEFAULT_ARROW_BYTES = str(32 * 1024 * 1024)
 
 
 def get_spark(
@@ -49,6 +53,7 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(DEFAULT_ARROW_BATCH),
         )
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", DEFAULT_ARROW_BYTES)
         # Python workers are reused so the OCR engine singleton amortizes
         # across batches (reference warms the model once at daemon start,
         # workers/ocr/main.py:227-230).
@@ -66,6 +71,19 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # long many-query sessions (the bench sweep runs 60 queries x 2-5
+        # runs in one driver): (a) shuffle files / broadcast blocks are
+        # only reclaimed when a driver GC runs the ContextCleaner's weak
+        # refs — force that periodically instead of letting state pile up
+        # for 30 min (the default); (b) every distinct plan compiles fresh
+        # codegen classes, and an exhausted JIT code cache silently drops
+        # the whole JVM to interpreter speed late in the session — give it
+        # headroom
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         # saveAsTable targets (bucketed tables) land in tmp, never the repo
         .config(

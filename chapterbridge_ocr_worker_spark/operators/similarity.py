@@ -1139,7 +1139,16 @@ def ivfpq_topk(
     """
     cent_rows = _sample_centroids(corpus, n_centroids, id_col, vec_col)
     cents = [[float(x) for x in r["cvec"]] for r in cent_rows]
-    cb_vecs, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
+    if ksub == n_centroids:
+        # the codebook sample IS the centroid sample (same deterministic
+        # min-hash rows) — skip the second corpus scan+collect (r6)
+        d = len(cents[0])
+        if d % m:
+            raise ValueError(f"dim {d} not divisible into {m} subspaces")
+        dsub = d // m
+        cb_vecs = _cb_nested(cents, m, dsub)
+    else:
+        cb_vecs, dsub, _ = _pq_sample_codebooks(corpus, m, ksub, id_col, vec_col)
 
     # corpus side: one narrow (neighbor_id, bucket, codes) row per vector —
     # cell assignment identical to ivf_topk's, codes identical to pq_topk's

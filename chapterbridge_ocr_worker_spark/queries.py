@@ -2258,9 +2258,7 @@ def ensure_ivf_index(spark, sf_dir) -> str:
 
     from .operators.similarity import ivf_build_index
 
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/ivf_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/ivf_index_{_source_key(sf_dir, 'embeddings')}"
     if not os.path.isdir(os.path.join(base, "assignments")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         ivf_build_index(t(spark, sf_dir, "embeddings"), staging, n_centroids=16)
@@ -2361,9 +2359,7 @@ def ensure_snapshotted_docs(spark, sf_dir) -> str:
 
     from .sources.tables import append_snapshot
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/snapdocs_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/snapdocs_{_source_key(sf_dir, 'documents')}"
     if not os.path.isdir(os.path.join(base, "docs")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -2404,9 +2400,7 @@ def ensure_zordered_events(spark, sf_dir) -> str:
 
     from .sources.tables import write_table_zordered
 
-    st = os.stat(f"{sf_dir}/events.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/zevents_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/zevents_{_source_key(sf_dir, 'events')}"
     if not os.path.isdir(os.path.join(base, "events")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -2447,9 +2441,7 @@ def ensure_pq_index(spark, sf_dir) -> str:
 
     from .operators.similarity import pq_build_index
 
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/pq_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/pq_index_{_source_key(sf_dir, 'embeddings')}"
     if not os.path.isdir(os.path.join(base, "codes")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         pq_build_index(t(spark, sf_dir, "embeddings"), staging)
@@ -2552,9 +2544,7 @@ def ensure_ivfpq_index(spark, sf_dir) -> str:
 
     from .operators.similarity import ivfpq_build_index
 
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/ivfpq_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/ivfpq_index_{_source_key(sf_dir, 'embeddings')}"
     if not os.path.isdir(os.path.join(base, "cells")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         ivfpq_build_index(t(spark, sf_dir, "embeddings"), staging, n_centroids=16)
@@ -2614,9 +2604,7 @@ def streaming_scratch_dirs(sf_dir: str) -> list[str]:
     """
     import os
 
-    st = os.stat(f"{sf_dir}/events.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
+    key = _source_key(sf_dir, "events")
     return [
         f"/tmp/stream_append_out_{key}",
         f"/tmp/stream_append_ck_{key}",
@@ -2625,15 +2613,54 @@ def streaming_scratch_dirs(sf_dir: str) -> list[str]:
     ]
 
 
-def _cache_key(sf_dir: str, suffix: str) -> str:
-    """Interleave-cache key tied to the SOURCE file identity: a cache built
-    from a previous generation of the testdata must not be served for the
-    current one (the driver may regenerate parquet between rounds)."""
+_CODE_REV: str | None = None
+
+
+def _code_revision() -> str:
+    """Content hash of this package's source tree, cached per process.
+
+    Every /tmp prior-state cache key carries this alongside the DATA
+    identity (r5 verdict item): a cache built by an EARLIER revision of
+    the building code must never be served to a later one — data
+    mtime+size alone cannot see a code edit, and a stale mid-round cache
+    poisons only the Spark side of an oracle comparison (the DuckDB twin
+    always recomputes). Hashing the sources auto-invalidates on any edit
+    — nothing to remember to bump."""
+    global _CODE_REV
+    if _CODE_REV is None:
+        import hashlib
+        import os
+
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+            dirnames.sort()
+            for fname in sorted(filenames):
+                if fname.endswith(".py"):
+                    p = os.path.join(dirpath, fname)
+                    h.update(os.path.relpath(p, pkg).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _CODE_REV = h.hexdigest()[:10]
+    return _CODE_REV
+
+
+def _source_key(sf_dir: str, table: str) -> str:
+    """data identity (dir + mtime + size) + code revision — the shared key
+    for every build-once /tmp state cache."""
     import os
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
+    st = os.stat(f"{sf_dir}/{table}.parquet")
     safe = sf_dir.strip("/").replace("/", "_")
-    return f"{safe}_{int(st.st_mtime)}_{st.st_size}{suffix}"
+    return f"{safe}_{int(st.st_mtime)}_{st.st_size}_{_code_revision()}"
+
+
+def _cache_key(sf_dir: str, suffix: str) -> str:
+    """Interleave-cache key tied to the SOURCE file identity (a cache
+    built from a previous generation of the testdata must not be served
+    for the current one — the driver may regenerate parquet between
+    rounds) AND the code revision (see _code_revision)."""
+    return f"{_source_key(sf_dir, 'documents')}{suffix}"
 
 
 @q(
@@ -2709,8 +2736,7 @@ def stream_hourly_append_q(spark, sf_dir):
     # sink + checkpoint dirs keyed by source identity: a leftover checkpoint
     # from a PREVIOUS generation of the testdata would otherwise replay as
     # "already seen" and serve stale finalized windows
-    st = os.stat(f"{sf_dir}/events.parquet")
-    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
+    key = _source_key(sf_dir, "events")
     res = hourly_agg_append(
         spark,
         stream_dir,
@@ -2767,8 +2793,7 @@ def stream_sessions_q(spark, sf_dir):
     link = f"{stream_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    st = os.stat(f"{sf_dir}/events.parquet")
-    key = f"{safe}_{int(st.st_mtime)}_{st.st_size}"
+    key = _source_key(sf_dir, "events")
     res = session_counts_append(
         spark,
         stream_dir,
@@ -3954,9 +3979,7 @@ def ensure_bm25_index(spark, sf_dir) -> str:
 
     from .operators.search import build_inverted_index
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
-    base = f"/tmp/bm25_index_{safe}_{int(st.st_mtime)}_{st.st_size}"
+    base = f"/tmp/bm25_index_{_source_key(sf_dir, 'documents')}"
     if not os.path.isdir(os.path.join(base, "postings")):
         staging = f"{base}.building-{uuid.uuid4().hex[:8]}"
         build_inverted_index(t(spark, sf_dir, "documents"), staging)

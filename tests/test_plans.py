@@ -252,7 +252,12 @@ def test_ann_and_neardup_plan_hygiene(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     ann = ann_topk_lsh(emb, emb.filter("vec_id % 100 = 0"), k=5, bits=6)
     plan = pi.formatted(ann)
-    assert pi.count_broadcast_joins(ann) >= 1
+    # r6 shape: one fused corpus-linear kernel (signature + probe scoring)
+    # replaces the signature projection + broadcast bucket-join — the plan
+    # must carry the MapInArrow stage, no join at all on the corpus side,
+    # and still no cartesian
+    assert "MapInArrow" in plan
+    assert "Join" not in plan.replace("MapInArrow", "")
     assert "CartesianProduct" not in plan
 
     nd = cosine_neardup_pairs(emb, threshold=0.9, bits=6)
@@ -280,10 +285,16 @@ def test_ivf_indexed_plan_scans_table(spark, tmp_path):
     out = ivf_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5, nprobe=2)
     plan = pi.formatted(out)
     assert "Scan parquet" in plan and "CartesianProduct" not in plan
-    assert pi.count_broadcast_joins(out) >= 1
-    # corpus assignment happened at build time: exactly one transform over
-    # the centroid literal (the query-side probe scoring), not two
-    assert plan.count("transform(") <= plan.count("BroadcastExchange") + 1
+    # r6 shape: probed-pair scoring is the MapInArrow kernel over the
+    # assignments FileScan; the probed-bucket set is PUSHED DOWN into that
+    # scan (unprobed cells never read), and no corpus-side cosine
+    # re-scoring (the 16-way centroid fold) appears for the corpus side
+    assert "MapInArrow" in plan
+    assert "bucket" in pi.scan_read_schema(out, "assignments")
+    import re
+
+    m = re.search(r"assignments[\s\S]{0,600}?PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "In(bucket" in m.group(1)
 
 
 def test_ivf_plan_broadcasts_probes(spark):
@@ -294,7 +305,11 @@ def test_ivf_plan_broadcasts_probes(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = ivf_topk(emb, emb.filter("vec_id % 100 = 0"), k=5, n_centroids=8, nprobe=2)
     plan = pi.formatted(df)
-    assert pi.count_broadcast_joins(df) >= 1
+    # r6 shape: cell scores + probe scoring are kernels; the assignment
+    # DECISION (round + argmax) stays a JVM projection between them, and
+    # there is no corpus self-join or cartesian anywhere
+    assert plan.count("MapInArrow") >= 2
+    assert "round(" in plan and "array_position" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -431,8 +446,11 @@ def test_pq_indexed_plan_scans_codes_only(spark, tmp_path):
     out = pq_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5)
     plan = pi.formatted(out)
     assert "CartesianProduct" not in plan
-    # exactly one scan of the raw embeddings (query side), one codes scan
-    assert plan.count("embeddings.parquet") == 1
+    # r6: the query-side distance tables are computed and collected before
+    # this plan is built, so the executed plan touches NO embedding bytes
+    # at all — only the codes table feeds the ADC kernel
+    assert plan.count("embeddings.parquet") == 0
+    assert "MapInArrow" in plan
     assert "/codes" in plan
 
 
@@ -473,9 +491,17 @@ def test_ivfpq_indexed_plan_scans_cells_only(spark, tmp_path):
     out = ivfpq_query_index(spark, idx, emb.filter("vec_id % 100 = 0"), k=5, nprobe=2)
     plan = pi.formatted(out)
     assert "CartesianProduct" not in plan
-    assert pi.count_broadcast_joins(out) >= 1
-    assert plan.count("embeddings.parquet") == 1
+    # r6 shape: ADC runs in the MapInArrow kernel over the cells FileScan
+    # with the probed buckets pushed down; the embeddings parquet is read
+    # once (query side)
+    assert "MapInArrow" in plan
+    # query side collected pre-plan: no embedding bytes in the executed plan
+    assert plan.count("embeddings.parquet") == 0
     assert "/cells" in plan
+    import re
+
+    m = re.search(r"cells[\s\S]{0,600}?PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "In(bucket" in m.group(1)
 
 
 def test_bm25_indexed_plan_reads_postings_only(spark, tmp_path):
