@@ -341,23 +341,29 @@ def _est_pairs(sigs: DataFrame, min_est: float, max_bucket: int) -> DataFrame:
     storage_level="DISK_ONLY" through the public operators to keep the
     barrier off the executor heap.
     """
-    pairs = lsh_candidate_pairs(sigs, max_bucket)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    matching = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # r6 fastpath: candidate generation + signature-match counting fuse
+    # into one bucket-grouped kernel (exact integers) — the old
+    # self-join + distinct + two signature attach joins collapse into a
+    # single bucket shuffle; the est-threshold DECISION (engine round)
+    # stays a JVM filter on the integer match count.
+    from .fastpath import bucket_pair_sig_matches
+
+    e = sigs.select("id", "sig", F.explode("bands").alias("bh"))
+    keep = (
+        e.groupBy("bh")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("bh")
     )
+    e = e.join(keep, "bh", "left_semi")
+    cand = bucket_pair_sig_matches(e, MH_K).distinct()
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        cand.select(
             "id_a",
             "id_b",
-            F.round(matching / F.lit(float(MH_K)), 4).alias("est_jaccard"),
+            F.round(F.col("matching") / F.lit(float(MH_K)), 4).alias(
+                "est_jaccard"
+            ),
         )
         .filter(F.col("est_jaccard") >= min_est)
     )
@@ -805,49 +811,30 @@ def incremental_dedup(
     )
     # prior rows matter only in buckets the new slice touches (candidates
     # need a new side) — at 100 TB this semi-join is what lets the (id, bh)
-    # table read be pruned instead of scanned
+    # table read be pruned instead of scanned; the relevant prior rows
+    # (|touched| only) then pick up their signature with one keyed join
     prior_rel = prior_e.join(new_e.select("bh").distinct(), "bh", "left_semi")
-    e = prior_rel.withColumn("is_new", F.lit(False)).unionByName(
-        new_e.withColumn("is_new", F.lit(True))
+    prior_rows = prior_rel.join(prior_sigs.select("id", "sig"), "id").select(
+        "id", "sig", "bh"
+    )
+    new_rows = new_sigs.select(
+        "id", "sig", F.explode("bands").alias("bh")
+    )
+    e = prior_rows.withColumn("is_new", F.lit(False)).unionByName(
+        new_rows.withColumn("is_new", F.lit(True))
     )
     e = e.join(kept, "bh", "left_semi")
-    # candidates: one side NEW, other side anything — the prior-vs-prior
-    # quadrant (the expensive one at 100 TB) is never generated
-    en = e.filter("is_new")
-    cand = (
-        en.alias("a")
-        .join(
-            e.alias("b"),
-            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-        )
-        .distinct()
-    )
+    # r6 fastpath: candidates + signature-match counting fuse into the
+    # bucket-grouped kernel (exact integers; only >=1-new pairs emitted —
+    # the prior-vs-prior quadrant is never generated, as before); the
+    # est-threshold DECISION (engine round) stays a JVM filter
+    from .fastpath import bucket_pair_sig_matches
 
-    # est-prefilter then exact re-rank, same stages as jaccard_pairs_lsh;
-    # is_new flags ride the attach joins (no extra membership join)
-    sa = allsigs.select(
-        F.col("id").alias("id_a"),
-        F.col("sig").alias("sig_a"),
-        F.col("is_new").alias("new_a"),
-    )
-    sb = allsigs.select(
-        F.col("id").alias("id_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("is_new").alias("new_b"),
-    )
-    matching = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    cand = bucket_pair_sig_matches(e, MH_K, flag_col="is_new").distinct()
     est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.round(matching / F.lit(float(MH_K)), 4) >= min_est)
+        cand.filter(
+            F.round(F.col("matching") / F.lit(float(MH_K)), 4) >= min_est
+        )
         .select("id_a", "id_b", "new_a", "new_b")
     )
     ta = allsigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))

@@ -570,6 +570,99 @@ def simhash_from_hs(hashed: DataFrame, sim_bits: int) -> DataFrame:
     return _spread(hashed.select("id", "hs")).mapInArrow(fn, "id long, simhash long")
 
 
+def bucket_pair_sig_matches(
+    rows: DataFrame,
+    k_sig: int,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bucket_col: str = "bh",
+    flag_col: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b, matching) for every same-bucket unordered pair
+    (id_a < id_b), where ``matching`` = count of equal MinHash signature
+    components — EXACT integers, the same value the zip_with fold
+    computed after the old self-join + distinct + two signature attach
+    joins. A pair sharing several band buckets is emitted once per
+    bucket with the SAME matching value; the caller's distinct()
+    collapses them (as it collapsed the old candidate join's
+    duplicates). One hash shuffle on the bucket key replaces the
+    self-join exchange + two attach-join exchanges; the caller's bucket
+    cap bounds each pair block, and the est-threshold DECISION
+    (ROUND(matching/K, 4) >= min_est) stays a JVM filter.
+
+    With ``flag_col`` (the incremental path's is_new) only pairs with at
+    least one flagged side are emitted, and each side's flag rides along
+    as (new_a, new_b) — the same pair set + flags the old new-side x
+    union join produced after least/greatest + distinct."""
+    cols = [id_col, sig_col, bucket_col] + ([flag_col] if flag_col else [])
+    part = rows.select(*cols).repartition(
+        F.col(bucket_col)
+    ).sortWithinPartitions(bucket_col)
+    fields = [
+        pa.field("id_a", pa.int64()),
+        pa.field("id_b", pa.int64()),
+        pa.field("matching", pa.int32()),
+    ]
+    schema_str = "id_a long, id_b long, matching int"
+    if flag_col:
+        fields += [pa.field("new_a", pa.bool_()), pa.field("new_b", pa.bool_())]
+        schema_str += ", new_a boolean, new_b boolean"
+    out_schema = pa.schema(fields)
+
+    def fn(iterator):
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        get = lambda c: (  # noqa: E731
+            tbl.column(c).chunk(0)
+            if tbl.column(c).num_chunks == 1
+            else pa.concat_arrays(tbl.column(c).chunks)
+        )
+        nid = get(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = get(bucket_col).to_numpy(zero_copy_only=False)
+        flat, offs = _flat_list_i64(get(sig_col))
+        S = flat.reshape(len(nid), k_sig)
+        flags = (
+            get(flag_col).to_numpy(zero_copy_only=False).astype(bool)
+            if flag_col
+            else None
+        )
+        order = np.argsort(bkt, kind="stable")
+        bounds = np.flatnonzero(np.diff(bkt[order])) + 1
+        out_cols = [[] for _ in fields]
+        for seg in np.split(order, bounds):
+            n = len(seg)
+            if n < 2:
+                continue
+            seg = seg[np.argsort(nid[seg], kind="stable")]
+            Ssub = S[seg]
+            iu, ju = np.triu_indices(n, k=1)
+            if flags is not None:
+                fl = flags[seg]
+                keep = fl[iu] | fl[ju]
+                iu, ju = iu[keep], ju[keep]
+                if not len(iu):
+                    continue
+            m = (Ssub[iu] == Ssub[ju]).sum(axis=1).astype(np.int32)
+            out_cols[0].append(nid[seg[iu]])
+            out_cols[1].append(nid[seg[ju]])
+            out_cols[2].append(m)
+            if flags is not None:
+                fl = flags[seg]
+                out_cols[3].append(fl[iu])
+                out_cols[4].append(fl[ju])
+        if not out_cols[0]:
+            return
+        arrays = [
+            pa.array(np.concatenate(vals), type=f.type)
+            for vals, f in zip(out_cols, fields)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return part.mapInArrow(fn, schema_str)
+
+
 def bucket_pair_cos(
     sigs: DataFrame,
     id_col: str = "id",

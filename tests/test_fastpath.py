@@ -211,6 +211,47 @@ def test_adc_kernel_matches_jvm_lookup_sum(spark):
     assert got == ref and len(ref) == 15
 
 
+def test_bucket_pair_sig_matches_kernel(spark):
+    """The fused candidate+match kernel reproduces the old shape exactly:
+    same-bucket unordered pairs, match counts equal to the component-wise
+    signature comparison, and in flag mode only >=1-flagged pairs with
+    per-side flags."""
+    from chapterbridge_ocr_worker_spark.operators.fastpath import (
+        bucket_pair_sig_matches,
+    )
+
+    rows = [
+        (i, [(i * p) % 7 for p in (1, 2, 3, 5)], i % 3, i >= 10)
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, sig array<long>, bh long, is_new boolean"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["matching"]
+        for r in bucket_pair_sig_matches(df, 4).distinct().collect()
+    }
+    sig = {i: s for i, s, _, _ in rows}
+    exp = {}
+    for i, si, bi, _ in rows:
+        for j, sj, bj, _ in rows:
+            if i < j and bi == bj:
+                exp[(i, j)] = sum(a == b for a, b in zip(si, sj))
+    assert got == exp and len(exp) > 10
+    flagged = {
+        (r["id_a"], r["id_b"]): (r["matching"], r["new_a"], r["new_b"])
+        for r in bucket_pair_sig_matches(df, 4, flag_col="is_new")
+        .distinct()
+        .collect()
+    }
+    exp_f = {
+        (i, j): (m, i >= 10, j >= 10)
+        for (i, j), m in exp.items()
+        if i >= 10 or j >= 10
+    }
+    assert flagged == exp_f and 0 < len(exp_f) < len(exp)
+
+
 def test_lsh_bucket_kernel_matches_jvm_signature(spark):
     """Kernel LSH buckets == the retained JVM lsh_signature fold for every
     corpus row (raw-sign decisions on bit-identical projections)."""
