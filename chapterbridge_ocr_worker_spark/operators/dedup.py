@@ -814,9 +814,15 @@ def incremental_dedup(
     # table read be pruned instead of scanned; the relevant prior rows
     # (|touched| only) then pick up their signature with one keyed join
     prior_rel = prior_e.join(new_e.select("bh").distinct(), "bh", "left_semi")
-    prior_rows = prior_rel.join(prior_sigs.select("id", "sig"), "id").select(
-        "id", "sig", "bh"
-    )
+    # the signature-attach leg is aliased EXPLICITLY: both legs descend
+    # from prior_sigs, and an ambiguous self-join condition is resolved by
+    # the analyzer's rewrite — which is cache-state-sensitive and was
+    # observed (randomized equivalence loop) silently joining wrong and
+    # dropping every prior-side pair. Unambiguous by construction instead.
+    sig_leg = prior_sigs.select(F.col("id").alias("_sid"), F.col("sig"))
+    prior_rows = prior_rel.join(
+        sig_leg, F.col("id") == F.col("_sid")
+    ).select("id", "sig", "bh")
     new_rows = new_sigs.select(
         "id", "sig", F.explode("bands").alias("bh")
     )

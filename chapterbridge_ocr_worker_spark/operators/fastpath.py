@@ -570,6 +570,18 @@ def simhash_from_hs(hashed: DataFrame, sim_bits: int) -> DataFrame:
     return _spread(hashed.select("id", "hs")).mapInArrow(fn, "id long, simhash long")
 
 
+def _struct_members(col):
+    """ListArray<struct> column -> (outer offsets rebased to 0, StructArray
+    child restricted to the outer range)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    oo = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    structs = col.values
+    if oo[0] != 0 or len(structs) != oo[-1]:
+        structs = structs.slice(oo[0], oo[-1] - oo[0])
+    return oo - oo[0], structs
+
+
 def bucket_pair_sig_matches(
     rows: DataFrame,
     k_sig: int,
@@ -584,20 +596,29 @@ def bucket_pair_sig_matches(
     computed after the old self-join + distinct + two signature attach
     joins. A pair sharing several band buckets is emitted once per
     bucket with the SAME matching value; the caller's distinct()
-    collapses them (as it collapsed the old candidate join's
-    duplicates). One hash shuffle on the bucket key replaces the
-    self-join exchange + two attach-join exchanges; the caller's bucket
-    cap bounds each pair block, and the est-threshold DECISION
-    (ROUND(matching/K, 4) >= min_est) stays a JVM filter.
+    collapses them. The est-threshold DECISION (ROUND(matching/K, 4) >=
+    min_est) stays a JVM filter.
 
     With ``flag_col`` (the incremental path's is_new) only pairs with at
     least one flagged side are emitted, and each side's flag rides along
-    as (new_a, new_b) — the same pair set + flags the old new-side x
-    union join produced after least/greatest + distinct."""
-    cols = [id_col, sig_col, bucket_col] + ([flag_col] if flag_col else [])
-    part = rows.select(*cols).repartition(
-        F.col(bucket_col)
-    ).sortWithinPartitions(bucket_col)
+    as (new_a, new_b).
+
+    Co-location is SEMANTIC, not physical: each bucket's members are
+    gathered by a real groupBy/collect_list aggregation (bounded by the
+    caller's bucket cap), so the kernel is immune to physical-layout
+    rewrites — AQE's local shuffle reader was observed serving a
+    repartition(bucket) mapper-aligned, silently splitting buckets
+    across tasks in an earlier repartition+sort formulation. Singleton
+    buckets (the vast majority) are dropped by a JVM size filter before
+    any Python is involved."""
+    member = [F.col(id_col).alias("_mid"), F.col(sig_col).alias("_msig")]
+    if flag_col:
+        member.append(F.col(flag_col).alias("_mflag"))
+    grouped = (
+        rows.groupBy(bucket_col)
+        .agg(F.collect_list(F.struct(*member)).alias("_members"))
+        .filter(F.size("_members") >= 2)
+    )
     fields = [
         pa.field("id_a", pa.int64()),
         pa.field("id_b", pa.int64()),
@@ -610,57 +631,52 @@ def bucket_pair_sig_matches(
     out_schema = pa.schema(fields)
 
     def fn(iterator):
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        get = lambda c: (  # noqa: E731
-            tbl.column(c).chunk(0)
-            if tbl.column(c).num_chunks == 1
-            else pa.concat_arrays(tbl.column(c).chunks)
-        )
-        nid = get(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = get(bucket_col).to_numpy(zero_copy_only=False)
-        flat, offs = _flat_list_i64(get(sig_col))
-        S = flat.reshape(len(nid), k_sig)
-        flags = (
-            get(flag_col).to_numpy(zero_copy_only=False).astype(bool)
-            if flag_col
-            else None
-        )
-        order = np.argsort(bkt, kind="stable")
-        bounds = np.flatnonzero(np.diff(bkt[order])) + 1
-        out_cols = [[] for _ in fields]
-        for seg in np.split(order, bounds):
-            n = len(seg)
-            if n < 2:
-                continue
-            seg = seg[np.argsort(nid[seg], kind="stable")]
-            Ssub = S[seg]
-            iu, ju = np.triu_indices(n, k=1)
-            if flags is not None:
-                fl = flags[seg]
-                keep = fl[iu] | fl[ju]
-                iu, ju = iu[keep], ju[keep]
-                if not len(iu):
+        for cols in _rebatch(iterator, ("_members",)):
+            oo, structs = _struct_members(cols["_members"])
+            nid = structs.field("_mid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            flat, _so = _flat_list_i64(structs.field("_msig"))
+            S = flat.reshape(len(nid), k_sig)
+            flags = (
+                structs.field("_mflag")
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+                if flag_col
+                else None
+            )
+            out_cols: list[list[np.ndarray]] = [[] for _ in fields]
+            for b in range(len(oo) - 1):
+                seg = np.arange(oo[b], oo[b + 1])
+                n = len(seg)
+                if n < 2:
                     continue
-            m = (Ssub[iu] == Ssub[ju]).sum(axis=1).astype(np.int32)
-            out_cols[0].append(nid[seg[iu]])
-            out_cols[1].append(nid[seg[ju]])
-            out_cols[2].append(m)
-            if flags is not None:
-                fl = flags[seg]
-                out_cols[3].append(fl[iu])
-                out_cols[4].append(fl[ju])
-        if not out_cols[0]:
-            return
-        arrays = [
-            pa.array(np.concatenate(vals), type=f.type)
-            for vals, f in zip(out_cols, fields)
-        ]
-        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+                seg = seg[np.argsort(nid[seg], kind="stable")]
+                Ssub = S[seg]
+                iu, ju = np.triu_indices(n, k=1)
+                if flags is not None:
+                    fl = flags[seg]
+                    keep = fl[iu] | fl[ju]
+                    iu, ju = iu[keep], ju[keep]
+                    if not len(iu):
+                        continue
+                m = (Ssub[iu] == Ssub[ju]).sum(axis=1).astype(np.int32)
+                out_cols[0].append(nid[seg[iu]])
+                out_cols[1].append(nid[seg[ju]])
+                out_cols[2].append(m)
+                if flags is not None:
+                    fl = flags[seg]
+                    out_cols[3].append(fl[iu])
+                    out_cols[4].append(fl[ju])
+            if not out_cols[0]:
+                continue
+            arrays = [
+                pa.array(np.concatenate(vals), type=f.type)
+                for vals, f in zip(out_cols, fields)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    return part.mapInArrow(fn, schema_str)
+    return grouped.select("_members").mapInArrow(fn, schema_str)
 
 
 def bucket_pair_cos(
@@ -674,18 +690,21 @@ def bucket_pair_cos(
     id_b), cos the bit-exact JVM-fold double — the kernel replacement for
     the LSH-blocked self-join + per-pair HOF cosine of the near-dup
     operators. With ``flag_col`` (incremental mode) only pairs with at
-    least one flagged side are emitted — the same pair set as the old
-    new-side x union join after least/greatest dedup.
+    least one flagged side are emitted. The threshold DECISION
+    (ROUND(cos,4) >= t) stays a JVM filter on top.
 
-    One hash shuffle on the bucket key replaces the self-join's exchange;
-    each bucket's rows land contiguous (repartition + sortWithinPartitions)
-    and its pair block is a <= cap^2 dot matrix — the caller's bucket cap
-    keeps blocks bounded, exactly as it bounded the join. The
-    threshold DECISION (ROUND(cos,4) >= t) stays a JVM filter on top."""
-    spark = sigs.sparkSession
-    cols = [id_col, vec_col, bucket_col] + ([flag_col] if flag_col else [])
-    part = sigs.select(*cols).repartition(F.col(bucket_col)).sortWithinPartitions(
-        bucket_col
+    Co-location is SEMANTIC (groupBy/collect_list per bucket, bounded by
+    the caller's bucket cap) — immune to physical-layout rewrites such
+    as AQE's local shuffle reader, which broke an earlier
+    repartition+sort formulation. Singleton buckets are dropped by a JVM
+    size filter before any Python runs."""
+    member = [F.col(id_col).alias("_mid"), F.col(vec_col).alias("_mvec")]
+    if flag_col:
+        member.append(F.col(flag_col).alias("_mflag"))
+    grouped = (
+        sigs.groupBy(bucket_col)
+        .agg(F.collect_list(F.struct(*member)).alias("_members"))
+        .filter(F.size("_members") >= 2)
     )
     out_schema = pa.schema(
         [
@@ -696,63 +715,62 @@ def bucket_pair_cos(
     )
 
     def fn(iterator):
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        get = lambda c: (  # noqa: E731
-            tbl.column(c).chunk(0)
-            if tbl.column(c).num_chunks == 1
-            else pa.concat_arrays(tbl.column(c).chunks)
-        )
-        nid = get(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = get(bucket_col).to_numpy(zero_copy_only=False)
-        varr = get(vec_col)
-        offs = varr.offsets.to_numpy(zero_copy_only=False)
-        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        V = _vec_matrix(varr, dim)
-        flags = (
-            get(flag_col).to_numpy(zero_copy_only=False).astype(bool)
-            if flag_col
-            else None
-        )
-        order = np.argsort(bkt, kind="stable")
-        bounds = np.flatnonzero(np.diff(bkt[order])) + 1
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        for seg in np.split(order, bounds):
-            n = len(seg)
-            if n < 2:
+        for cols in _rebatch(iterator, ("_members",)):
+            oo, structs = _struct_members(cols["_members"])
+            nid = structs.field("_mid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            varr = structs.field("_mvec")
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+            voffs = varr.offsets.to_numpy(zero_copy_only=False)
+            dim = int(voffs[1] - voffs[0]) if len(voffs) > 1 else 0
+            V = _vec_matrix(varr, dim)
+            flags = (
+                structs.field("_mflag")
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+                if flag_col
+                else None
+            )
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for b in range(len(oo) - 1):
+                seg = np.arange(oo[b], oo[b + 1])
+                n = len(seg)
+                if n < 2:
+                    continue
+                # order by id so pair (i, j), i<j has id_a < id_b
+                seg = seg[np.argsort(nid[seg], kind="stable")]
+                Csub = V[seg]
+                cn = np.sqrt(ordered_sqnorm(Csub))
+                dots = ordered_dot_matrix(Csub, Csub)
+                cos = dots / (cn[:, None] * cn[None, :])
+                iu, ju = np.triu_indices(n, k=1)
+                if flags is not None:
+                    fl = flags[seg]
+                    keep = fl[iu] | fl[ju]
+                    iu, ju = iu[keep], ju[keep]
+                if not len(iu):
+                    continue
+                out_a.append(nid[seg[iu]])
+                out_b.append(nid[seg[ju]])
+                out_c.append(cos[iu, ju])
+            if not out_a:
                 continue
-            # order by id so pair (i, j), i<j has id_a < id_b
-            seg = seg[np.argsort(nid[seg], kind="stable")]
-            Csub = V[seg]
-            cn = np.sqrt(ordered_sqnorm(Csub))
-            dots = ordered_dot_matrix(Csub, Csub)
-            cos = dots / (cn[:, None] * cn[None, :])
-            iu, ju = np.triu_indices(n, k=1)
-            if flags is not None:
-                fl = flags[seg]
-                keep = fl[iu] | fl[ju]
-                iu, ju = iu[keep], ju[keep]
-            if not len(iu):
-                continue
-            out_a.append(nid[seg[iu]])
-            out_b.append(nid[seg[ju]])
-            out_c.append(cos[iu, ju])
-        if not out_a:
-            return
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.concatenate(out_a), type=pa.int64()),
-                pa.array(np.concatenate(out_b), type=pa.int64()),
-                pa.array(np.concatenate(out_c), type=pa.float64()),
-            ],
-            schema=out_schema,
-        )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
 
-    return part.mapInArrow(fn, "id_a long, id_b long, cos double")
+    return grouped.select("_members").mapInArrow(
+        fn, "id_a long, id_b long, cos double"
+    )
 
 
 def pq_ds_raw(
