@@ -811,36 +811,53 @@ def incremental_dedup(
     )
     # prior rows matter only in buckets the new slice touches (candidates
     # need a new side) — at 100 TB this semi-join is what lets the (id, bh)
-    # table read be pruned instead of scanned; the relevant prior rows
-    # (|touched| only) then pick up their signature with one keyed join
+    # table read be pruned instead of scanned
     prior_rel = prior_e.join(new_e.select("bh").distinct(), "bh", "left_semi")
-    # the signature-attach leg is aliased EXPLICITLY: both legs descend
-    # from prior_sigs, and an ambiguous self-join condition is resolved by
-    # the analyzer's rewrite — which is cache-state-sensitive and was
-    # observed (randomized equivalence loop) silently joining wrong and
-    # dropping every prior-side pair. Unambiguous by construction instead.
-    sig_leg = prior_sigs.select(F.col("id").alias("_sid"), F.col("sig"))
-    prior_rows = prior_rel.join(
-        sig_leg, F.col("id") == F.col("_sid")
-    ).select("id", "sig", "bh")
-    new_rows = new_sigs.select(
-        "id", "sig", F.explode("bands").alias("bh")
-    )
-    e = prior_rows.withColumn("is_new", F.lit(False)).unionByName(
-        new_rows.withColumn("is_new", F.lit(True))
+    e = prior_rel.withColumn("is_new", F.lit(False)).unionByName(
+        new_e.withColumn("is_new", F.lit(True))
     )
     e = e.join(kept, "bh", "left_semi")
-    # r6 fastpath: candidates + signature-match counting fuse into the
-    # bucket-grouped kernel (exact integers; only >=1-new pairs emitted —
-    # the prior-vs-prior quadrant is never generated, as before); the
-    # est-threshold DECISION (engine round) stays a JVM filter
-    from .fastpath import bucket_pair_sig_matches
-
-    cand = bucket_pair_sig_matches(e, MH_K, flag_col="is_new").distinct()
-    est = (
-        cand.filter(
-            F.round(F.col("matching") / F.lit(float(MH_K)), 4) >= min_est
+    # candidates: one side NEW, other side anything — the prior-vs-prior
+    # quadrant (the expensive one at 100 TB) is never generated.
+    # (r6 note: the full-corpus family fuses this stage into the
+    # bucket-grouped kernel; here the asymmetric narrow-row join over the
+    # materialized bucket table measured at parity or better than the
+    # fused form at every tested scale, so the r5-proven shape stays.)
+    en = e.filter("is_new")
+    cand = (
+        en.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") != F.col("b.id")),
         )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # est-prefilter then exact re-rank, same stages as jaccard_pairs_lsh;
+    # is_new flags ride the attach joins (no extra membership join)
+    sa = allsigs.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("is_new").alias("new_a"),
+    )
+    sb = allsigs.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("is_new").alias("new_b"),
+    )
+    matching = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(matching / F.lit(float(MH_K)), 4) >= min_est)
         .select("id_a", "id_b", "new_a", "new_b")
     )
     ta = allsigs.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
