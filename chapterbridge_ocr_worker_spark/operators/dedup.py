@@ -1264,10 +1264,23 @@ def _bloom_positions(h: Column, m_bits: int, k: int) -> Column:
     """array<long> of k bit positions for a 32-hex-char md5 string, via
     Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m. h1/h2
     are the two 60-bit halves of the md5 itself (deterministic across
-    runs, engines, and cluster sizes — the bitmap is portable state)."""
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    runs, engines, and cluster sizes — the bitmap is portable state).
+
+    h1/h2 are reduced mod m BEFORE the stride multiply: with raw 60-bit
+    halves, h1 + i*h2 overflows int64 for k >= 8 (ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode) — exactly the production sizing
+    bloom_params documents (10^9 keys -> m=2^34, k=12). The reduction is
+    value-identical by modular arithmetic ((a+b) mod m == ((a mod m) +
+    (b mod m)) mod m), so bitmaps persisted by earlier revisions stay
+    valid; the largest operand is now (k+1)*m, safe for any m < 2^57.
+    The pre-reduction odd-forcing of h2 survives the mod unchanged for
+    the power-of-two m that bloom_params emits (odd mod 2^j stays odd),
+    so the stride still never degenerates to 0."""
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
     # force h2 odd so the probe stride never degenerates to 0 mod m
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    h2 = (
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    ) % F.lit(m_bits)
     return F.array(
         *[((h1 + F.lit(i) * h2) % F.lit(m_bits)).cast("long") for i in range(k)]
     )

@@ -737,9 +737,19 @@ def zorder_key(cols: list, ranges: list, bits: int = 4):
             raise ValueError(f"zorder_key: column {c} has no min/max (all null?)")
         col = F.col(c) if isinstance(c, str) else c
         span = max(int(mx) - int(mn) + 1, 1)
-        q = F.floor(
-            ((col.cast("long") - F.lit(int(mn))) * F.lit(levels)) / F.lit(span)
-        ).cast("long")
+        if span <= (1 << 62) // levels:
+            # exact int64 multiply (bit-identical to the original layout)
+            scaled = (col.cast("long") - F.lit(int(mn))) * F.lit(levels)
+        else:
+            # huge-magnitude columns (epoch-microsecond spans ~1.7e18):
+            # the long multiply overflows int64 and throws under ANSI mode.
+            # Quantize in double instead — the rounding noise only moves a
+            # value across a cell boundary, which cannot break reads: file
+            # min/max stats, not the z-key, guarantee pruning correctness.
+            scaled = (col.cast("long") - F.lit(int(mn))).cast("double") * F.lit(
+                float(levels)
+            )
+        q = F.floor(scaled / F.lit(span)).cast("long")
         q = F.least(F.lit(levels - 1), F.greatest(F.lit(0), q))
         for b in range(bits):
             z = z + F.shiftleft(

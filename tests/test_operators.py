@@ -1659,6 +1659,48 @@ def test_bloom_build_folds_incrementally(spark):
     assert folded == union_words
 
 
+def test_bloom_roundtrip_at_production_sizing(spark):
+    """bloom_build/probe round-trip at the exact (m, k) bloom_params
+    documents for 10^9 keys (m=2^34, k=12): with raw 60-bit md5 halves,
+    h1 + 11*h2 overflows int64 and ANSI mode aborted the job — the
+    advertised production sizing crashed while the k=5 default worked.
+    Pins (a) no overflow at the returned sizing, (b) zero false negatives,
+    and (c) position values bit-identical to an unbounded-integer Python
+    recompute of (h1 + i*h2) mod m — i.e. the overflow fix is the SAME
+    function, not a rehash (persisted bitmaps from earlier revisions stay
+    valid)."""
+    from chapterbridge_ocr_worker_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+        exact_hashes,
+    )
+
+    m, k = bloom_params(10**9, 0.01)
+    assert k >= 8  # the regime where the unreduced stride multiply overflowed
+
+    docs = spark.createDataFrame(
+        [(i, f"member doc {i}") for i in range(40)], "doc_id: long, text: string"
+    )
+    words = bloom_build(exact_hashes(docs), m_bits=m, k=k)
+    probes = bloom_probe(
+        exact_hashes(docs), words, m_bits=m, k=k
+    )  # would raise ARITHMETIC_OVERFLOW before the mod-m reduction
+    assert probes.filter("NOT bloom_pos").count() == 0  # no false negatives
+
+    got = (
+        spark.createDataFrame([(f"doc {i}",) for i in range(20)], "t: string")
+        .select(F.md5("t").alias("h"), _bloom_positions(F.col("h"), m, k).alias("pos"))
+        .collect()
+    )
+    for r in got:
+        hd = r["h"]
+        h1, h2 = int(hd[:15], 16), int(hd[15:30], 16) | 1
+        want = [(h1 + i * h2) % m for i in range(k)]  # Python ints: no overflow
+        assert list(r["pos"]) == want
+
+
 def test_bloom_params_sizing():
     """bloom_params hits the textbook operating point: at the returned
     (m, k), the analytic fp rate (1 - e^{-kn/m})^k is at or below ~the

@@ -514,6 +514,33 @@ def test_zorder_box_read_equals_plain_filter(spark, tmp_path):
     )
 
 
+def test_zorder_huge_magnitude_column(spark, tmp_path):
+    """Z-ordering on an epoch-microsecond-scale column (span ~1.7e18):
+    the quantizer's (col - mn) * levels long multiply overflowed int64
+    and threw ARITHMETIC_OVERFLOW under ANSI mode. The double fallback
+    only changes the z-key (layout), never results — file min/max stats
+    guarantee the box read, so the pruned read must still equal a plain
+    filter."""
+    base = 1_700_000_000_000_000_000
+    df = spark.range(512).select(
+        F.col("id"),
+        (F.lit(base) + F.col("id") * F.lit(3_300_000_000_000_000)).alias("ts"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).alias("y"),
+    )
+    root = str(tmp_path / "wh")
+    tables.write_table_zordered(df, root, "huge", ["ts", "y"], n_partitions=8)
+    lo, hi = base + 100 * 3_300_000_000_000_000, base + 200 * 3_300_000_000_000_000
+    got = tables.read_table_pruned_box(
+        spark, root, "huge", {"ts": (lo, hi), "y": (10, 40)}
+    )
+    want = df.filter(
+        (F.col("ts").between(lo, hi)) & (F.col("y").between(10, 40))
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
 def test_zorder_prunes_nonleading_dimension(spark, tmp_path):
     """The layout claim itself: a predicate on y ALONE (the non-leading
     dimension of a 1-D sort) prunes files under the z-order layout but
