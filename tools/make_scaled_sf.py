@@ -52,10 +52,21 @@ def main() -> None:
     def read(name):
         return spark.read.parquet(f"{src}/{name}.parquet")
 
-    def write(df, name, n_files):
-        df.repartition(n_files).write.mode("overwrite").parquet(
-            f"{dst}/{name}.parquet"
-        )
+    def write(df, name):
+        # the driver's testdata tables are single parquet FILES (the
+        # streaming queries symlink them as files), so flatten the write:
+        # one part file, moved to {dst}/{name}.parquet as a plain file
+        import glob
+        import shutil
+
+        tmp = f"{dst}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        final = f"{dst}/{name}.parquet"
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        shutil.move(part, final)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     docs = read("documents")
     write(
@@ -70,7 +81,6 @@ def main() -> None:
             factor,
         ),
         "documents",
-        16,
     )
 
     emb = read("embeddings")
@@ -86,7 +96,6 @@ def main() -> None:
             factor,
         ),
         "embeddings",
-        8,
     )
 
     li = read("lineitem")
@@ -98,7 +107,6 @@ def main() -> None:
             factor,
         ),
         "lineitem",
-        32,
     )
 
     orders = read("orders")
@@ -110,7 +118,6 @@ def main() -> None:
             factor,
         ),
         "orders",
-        16,
     )
 
     cust = read("customer")
@@ -122,7 +129,6 @@ def main() -> None:
             factor,
         ),
         "customer",
-        8,
     )
 
     ev = read("events")
@@ -134,11 +140,10 @@ def main() -> None:
             factor,
         ),
         "events",
-        16,
     )
 
     for name in ("region", "nation", "supplier", "part"):
-        write(read(name), name, 1)
+        write(read(name), name)
 
     print(f"scaled x{factor}: {src} -> {dst}")
     spark.stop()
