@@ -60,7 +60,12 @@ def main() -> None:
         import shutil
 
         tmp = f"{dst}/_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # bound row groups to 16 MB: a coalesce(1) write otherwise lands
+        # one giant row group, and parquet splits are row-group-granular —
+        # a single-task scan would misrepresent the driver's file layout
+        df.coalesce(1).write.option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
         final = f"{dst}/{name}.parquet"
         if os.path.isdir(final):
